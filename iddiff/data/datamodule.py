@@ -1,0 +1,115 @@
+"""Array-backed data module: deterministic splits + host-side batch iterators.
+
+TPU-native replacement for the reference's pl.LightningDataModule +
+torch DataLoader pattern (e.g. /root/reference/lightning_data_modules/
+KSphereDataset.py:105-135): datasets are materialized as host numpy arrays
+(they are small synthetic manifolds), split deterministically, and iterated
+as numpy batches that the training loop puts on device (sharded over the
+'data' mesh axis by iddiff.parallel).  No worker processes are needed —
+generation is vectorized numpy, and the arrays live in host RAM once.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+class EpochIterator:
+    """Batches of a (possibly label-paired) array dataset, reshuffled per epoch."""
+
+    def __init__(self, arrays, batch_size: int, shuffle: bool, seed: int = 0,
+                 drop_last: bool = False, shard_index: int = 0,
+                 num_shards: int = 1):
+        self.arrays = arrays if isinstance(arrays, (tuple, list)) else (arrays,)
+        self.n = len(self.arrays[0])
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        # per-host sharding (replaces Lightning's DistributedSampler)
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+
+    def __len__(self):
+        n_local = self.n // self.num_shards if self.num_shards > 1 else self.n
+        if self.drop_last:
+            return n_local // self.batch_size
+        return (n_local + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        idx = np.arange(self.n)
+        if self.shuffle:
+            idx = self._rng.permutation(self.n)
+        if self.num_shards > 1:
+            idx = idx[self.shard_index:: self.num_shards]
+        for start in range(0, len(idx), self.batch_size):
+            sel = idx[start: start + self.batch_size]
+            if self.drop_last and len(sel) < self.batch_size:
+                return
+            batch = tuple(a[sel] for a in self.arrays)
+            yield batch if len(batch) > 1 else batch[0]
+
+
+class ArrayDataModule:
+    """Base datamodule: subclasses implement `generate(config) -> array | (array, labels)`.
+
+    Split fractions come from config.data.split (e.g. [0.8, 0.1, 0.1]); the
+    reference's torch.random_split is replaced by a seeded permutation.
+    """
+
+    def __init__(self, config):
+        self.config = config
+        self.split = list(config.data.split)
+        self.train_batch = config.training.batch_size
+        self.val_batch = config.validation.batch_size
+        self.test_batch = config.eval.batch_size
+        self.seed = int(config.get("seed", 42))
+        self.return_labels = bool(config.data.get("return_labels", False))
+        self._setup_done = False
+
+    # --- to be overridden ---------------------------------------------------
+    def generate(self, config):
+        raise NotImplementedError
+
+    # -------------------------------------------------------------------------
+    def setup(self, stage=None):
+        if self._setup_done:
+            return
+        out = self.generate(self.config)
+        if isinstance(out, tuple):
+            data, labels = out
+        else:
+            data, labels = out, None
+        data = np.asarray(data, dtype=np.float32)
+        n = len(data)
+        perm = np.random.default_rng(self.seed).permutation(n)
+        n_train = int(self.split[0] * n)
+        n_val = int(self.split[1] * n)
+        tr, va, te = (
+            perm[:n_train],
+            perm[n_train: n_train + n_val],
+            perm[n_train + n_val:],
+        )
+        self.train_data, self.val_data, self.test_data = data[tr], data[va], data[te]
+        if labels is not None and len(labels) == n:
+            labels = np.asarray(labels)
+            self.train_labels, self.val_labels = labels[tr], labels[va]
+            self.test_labels = labels[te]
+        else:
+            self.train_labels = self.val_labels = self.test_labels = None
+        self._setup_done = True
+
+    def _loader(self, data, labels, batch, shuffle, seed):
+        arrays = (data,) if (labels is None or not self.return_labels) else (data, labels)
+        return EpochIterator(arrays, batch, shuffle=shuffle, seed=seed)
+
+    def train_dataloader(self):
+        return self._loader(self.train_data, self.train_labels, self.train_batch,
+                            True, self.seed + 1)
+
+    def val_dataloader(self):
+        return self._loader(self.val_data, self.val_labels, self.val_batch,
+                            True, self.seed + 2)
+
+    def test_dataloader(self):
+        return self._loader(self.test_data, self.test_labels, self.test_batch,
+                            False, self.seed + 3)
