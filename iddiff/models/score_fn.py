@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from iddiff.sde import VESDE, VPSDE, SubVPSDE, SNRSDE, CVESDE
 from iddiff.utils import batch_mul
 
-from .ksphere_gt import KSphereGT
+from .ksphere_gt import KSphereGT, KSphereExactGT
 
 
 def get_model_fn(model, params, train: bool = False, rngs=None) -> Callable:
@@ -67,7 +67,7 @@ def get_score_fn(sde, model, params, conditional: bool = False,
     model_fn = get_model_fn(model, params, train=train, rngs=rngs)
 
     # --- analytic oracle (models/utils.py:169-175) -------------------------
-    if isinstance(model, KSphereGT):
+    if isinstance(model, (KSphereGT, KSphereExactGT)):
         def score_fn(x, t):
             std = _std_of(sde, t)
             return model_fn(x, std)

@@ -1,0 +1,31 @@
+"""Sampling-fn dispatch (rebuild of /root/reference/sampling/unconditional.py:13-49)."""
+from __future__ import annotations
+
+from .ode import get_ode_sampler
+from .pc import get_pc_sampler
+
+
+def get_sampling_fn(config, sde, model, shape, eps):
+    """config.sampling.method: 'ode' | 'pc' → sampler(rng, params)."""
+    method = config.sampling.method.lower()
+    if method == "ode":
+        return get_ode_sampler(
+            sde, model, shape,
+            denoise=config.sampling.noise_removal,
+            continuous=config.training.continuous,
+            eps=eps,
+        )
+    if method == "pc":
+        return get_pc_sampler(
+            sde, model, shape,
+            predictor=config.sampling.predictor.lower(),
+            corrector=config.sampling.corrector.lower(),
+            snr=config.sampling.snr,
+            n_steps_each=config.sampling.n_steps_each,
+            probability_flow=config.sampling.probability_flow,
+            continuous=config.training.continuous,
+            denoise=config.sampling.noise_removal,
+            eps=eps,
+            return_evolution=config.training.get("show_evolution", False),
+        )
+    raise ValueError(f"Sampler method '{method}' unknown (expected 'ode'|'pc')")

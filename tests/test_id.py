@@ -1,0 +1,144 @@
+"""ID-estimator tests: Gram-trick equivalence, oracle end-to-end dim, sharding."""
+import jax
+import jax.numpy as jnp
+import ml_collections
+import numpy as np
+import pytest
+
+from iddiff.id import (
+    collect_spectra,
+    dim_from_spectrum,
+    dims_from_spectra,
+    load_spectra,
+    num_score_batches,
+    save_spectra,
+    score_spectrum_fn,
+)
+from iddiff.models import create_model, get_score_fn
+from iddiff.sde import VESDE
+
+
+def test_num_score_batches_matches_reference_formula():
+    # d=100, B=500 (the 10-sphere paper config): 4 batches, 100 extra, K=1600
+    nb, extra, total = num_score_batches(100, 500)
+    assert (nb, extra, total) == (4, 100, 1600)
+    # d=1024, B=128: 36 batches, extra=0, K = 35*128
+    nb, extra, total = num_score_batches(1024, 128)
+    assert (nb, extra, total) == (36, 0, 4480)
+
+
+def test_gram_spectrum_equals_direct_svd():
+    """sqrt(eigh(centered Gram)) must equal singular values of centered scores."""
+    rng = np.random.default_rng(0)
+    K, d = 400, 30
+    scores = rng.normal(size=(K, d)).astype(np.float32) @ np.diag(
+        np.linspace(1, 5, 30)
+    ).astype(np.float32)
+    centered = scores - scores.mean(0, keepdims=True)
+    direct = np.linalg.svd(centered, compute_uv=False)
+    gram = centered.T @ centered
+    via_gram = np.sqrt(np.clip(np.linalg.eigvalsh(gram), 0, None))[::-1]
+    np.testing.assert_allclose(via_gram, direct, rtol=1e-3)
+
+
+def test_readout_rule_synthetic():
+    """A spectrum with an obvious cliff at index d-k reads out dim k."""
+    d, k = 50, 7
+    s = np.concatenate([np.linspace(100, 50, d - k), np.linspace(1.0, 0.5, k)])
+    assert dim_from_spectrum(s) == k
+
+
+def _oracle_setup(manifold_dim, ambient_dim, sigma_max=4.0, N=1000,
+                  embedding_type="random_isometry"):
+    config = ml_collections.ConfigDict()
+    config.model = ml_collections.ConfigDict({"name": "ksphere_gt_exact"})
+    config.data = ml_collections.ConfigDict({
+        "manifold_dim": manifold_dim, "ambient_dim": ambient_dim,
+        "embedding_type": embedding_type,
+    })
+    model = create_model(config)
+    sde = VESDE(sigma_min=1e-2, sigma_max=sigma_max, N=N)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.ones((2, ambient_dim)), jnp.ones((2,))
+    )["params"]
+    score_fn = get_score_fn(sde, model, params)
+    return sde, score_fn
+
+
+def test_oracle_ksphere_dim_estimate():
+    """THE paper pipeline with zero training: k-sphere oracle → dim ≈ k.
+
+    Mirrors SURVEY.md §7 step 2 acceptance: ksphere_gt oracle reproduces the
+    ground-truth dimension without training (KSphereGroundTruthModel path).
+    """
+    from iddiff.data.ksphere import generate_ksphere
+
+    k, d = 10, 100
+    sde, score_fn = _oracle_setup(k, d)
+    data = generate_ksphere(
+        n_samples=5, n_spheres=1, ambient_dim=d, manifold_dim=k,
+        noise_std=0.0, embedding_type="random_isometry", seed=3,
+    )
+    x = jnp.asarray(data)
+    spectra, K = collect_spectra(
+        jax.random.PRNGKey(1), sde, score_fn, x, batch_size=500, t=1e-5
+    )
+    assert spectra.shape == (5, d)
+    assert K == 1600
+    dims = dims_from_spectra(np.asarray(spectra))
+    # statistical estimator: all points should read out exactly k here
+    assert np.median(dims) == k, dims
+
+
+def test_oracle_dim_other_k():
+    from iddiff.data.ksphere import generate_ksphere
+
+    k, d = 3, 40
+    sde, score_fn = _oracle_setup(k, d, embedding_type="first")
+    data = generate_ksphere(
+        n_samples=4, n_spheres=1, ambient_dim=d, manifold_dim=k,
+        noise_std=0.0, embedding_type="first", seed=5,
+    )
+    spectra, _ = collect_spectra(
+        jax.random.PRNGKey(2), sde, score_fn, jnp.asarray(data),
+        batch_size=200, t=1e-5,
+    )
+    dims = dims_from_spectra(np.asarray(spectra))
+    assert np.median(dims) == k, dims
+
+
+def test_collect_spectra_sharded_over_mesh():
+    """Same estimates on an 8-device 'data' mesh (fake cluster)."""
+    from jax.sharding import Mesh
+    from iddiff.data.ksphere import generate_ksphere
+
+    k, d = 5, 32
+    sde, score_fn = _oracle_setup(k, d, embedding_type="first")
+    data = generate_ksphere(
+        n_samples=8, n_spheres=1, ambient_dim=d, manifold_dim=k,
+        noise_std=0.0, embedding_type="first", seed=7,
+    )
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("data",))
+    spectra, _ = collect_spectra(
+        jax.random.PRNGKey(3), sde, score_fn, jnp.asarray(data),
+        batch_size=128, t=1e-5, mesh=mesh,
+    )
+    dims = dims_from_spectra(np.asarray(spectra))
+    assert np.median(dims) == k, dims
+
+
+def test_spectra_pickle_roundtrip(tmp_path):
+    spectra = np.random.default_rng(0).normal(size=(3, 20)) ** 2
+    spectra = -np.sort(-spectra, axis=1)
+    path = save_spectra(spectra, str(tmp_path / "svd"), name="test")
+    loaded = load_spectra(path)
+    assert len(loaded) == 3
+    np.testing.assert_allclose(loaded, spectra, rtol=1e-6)
+    # format identical to the reference: dict with 'singular_values' lists
+    import pickle
+
+    with open(path, "rb") as f:
+        raw = pickle.load(f)
+    assert set(raw.keys()) == {"singular_values"}
+    assert isinstance(raw["singular_values"][0], list)
