@@ -98,17 +98,19 @@ class ArrayDataModule:
             self.train_labels = self.val_labels = self.test_labels = None
         self._setup_done = True
 
-    def _loader(self, data, labels, batch, shuffle, seed):
+    def _loader(self, data, labels, batch, shuffle, seed, drop_last=False):
         arrays = (data,) if (labels is None or not self.return_labels) else (data, labels)
-        return EpochIterator(arrays, batch, shuffle=shuffle, seed=seed)
+        return EpochIterator(arrays, batch, shuffle=shuffle, seed=seed,
+                             drop_last=drop_last)
 
     def train_dataloader(self):
+        # static shapes for jit + mesh-divisible batches: drop ragged tails
         return self._loader(self.train_data, self.train_labels, self.train_batch,
-                            True, self.seed + 1)
+                            True, self.seed + 1, drop_last=True)
 
     def val_dataloader(self):
         return self._loader(self.val_data, self.val_labels, self.val_batch,
-                            True, self.seed + 2)
+                            True, self.seed + 2, drop_last=True)
 
     def test_dataloader(self):
         return self._loader(self.test_data, self.test_labels, self.test_batch,

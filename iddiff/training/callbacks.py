@@ -1,0 +1,208 @@
+"""Training callbacks: in-training ID tracking, oracle metrics, visualization.
+
+Rebuild of /root/reference/lightning_callbacks/ (SURVEY.md §2.9).  Notable
+mappings:
+  - ema (ema.py:27-139): GONE as a callback — EMA is a tree-map inside the
+    jitted train step (training/train_step.py); validation reads ema_params.
+  - configuration (callbacks.py:16-45): absorbed into Trainer setup
+    (SDE/loss wiring, config pickling).
+  - ScoreSpectrumVisualization (callbacks.py:403-432): in-training ID hook —
+    every `logging.svd_frequency` epochs run the sharded estimator on
+    `logging.svd_points` training datapoints with EMA weights and log the
+    scalar 'dim' + spectrum figure.
+  - KSphereEvaluation (callbacks.py:434-452): sample norms sanity check.
+  - FisherDivergence (callbacks.py:373-390): E[g²‖s_gt − s_θ‖²] against the
+    datamodule's analytic ground-truth score (GaussianBubbles).
+  - 2D visualization family (callbacks.py:197-371): scatter/vector-field
+    figures into TensorBoard.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iddiff.utils import Registry, batch_mul, flatten_batch
+
+CALLBACKS = Registry("callback")
+register_callback = CALLBACKS.register
+
+
+class Callback:
+    def on_fit_start(self, trainer):
+        pass
+
+    def on_validation_end(self, trainer, epoch: int, metrics: dict):
+        pass
+
+    def on_epoch_end(self, trainer, epoch: int):
+        pass
+
+
+@register_callback(name="ScoreSpectrumVisualization")
+class ScoreSpectrumVisualization(Callback):
+    """In-training intrinsic-dimension tracking (callbacks.py:403-432)."""
+
+    def on_validation_end(self, trainer, epoch, metrics):
+        cfg = trainer.config
+        freq = cfg.logging.get("svd_frequency", 0)
+        if not freq or epoch % freq != 0:
+            return
+        from iddiff.id import collect_spectra, dims_from_spectra, save_spectra
+        from iddiff.models import get_score_fn
+
+        n_points = cfg.logging.get("svd_points", 5)
+        data = jnp.asarray(trainer.datamodule.train_data[:n_points])
+        score_fn = get_score_fn(
+            trainer.sde, trainer.model, trainer.state.ema_params, train=False
+        )
+        mesh = trainer.mesh
+        if data.shape[0] % mesh.shape["data"] != 0:
+            mesh = None  # too few points to shard evenly — run replicated
+        spectra, _ = collect_spectra(
+            jax.random.PRNGKey(epoch), trainer.sde, score_fn, data,
+            batch_size=cfg.training.batch_size, t=trainer.sampling_eps,
+            mesh=mesh,
+        )
+        dims = dims_from_spectra(np.asarray(spectra))
+        metrics["dim"] = float(np.median(dims))
+        if cfg.logging.get("save_svd", False):
+            save_spectra(np.asarray(spectra), f"{trainer.workdir}/svd",
+                         name=f"epoch_{epoch}")
+        try:
+            from iddiff.analysis.plots import spectrum_figure
+
+            trainer.metrics.figure(
+                int(trainer.state.step), "score_spectrum",
+                spectrum_figure(np.asarray(spectra)),
+            )
+        except Exception:
+            pass
+
+
+@register_callback(name="KSphereEvaluation")
+class KSphereEvaluation(Callback):
+    """Sample-norm sanity check (callbacks.py:434-452)."""
+
+    def on_validation_end(self, trainer, epoch, metrics):
+        freq = trainer.config.logging.get("svd_frequency", 1)
+        if freq and epoch % freq != 0:
+            return
+        samples = trainer.sample(num_samples=1000)
+        norms = np.linalg.norm(np.asarray(flatten_batch(samples)), axis=1)
+        metrics["sample_norm_mean"] = float(norms.mean())
+        metrics["sample_norm_min"] = float(norms.min())
+        metrics["sample_norm_max"] = float(norms.max())
+
+
+@register_callback(name="FisherDivergence")
+class FisherDivergence(Callback):
+    """Ground-truth Fisher divergence E[g²‖s_gt − s_θ‖²] (callbacks.py:373-390).
+    Requires the datamodule to expose ground_truth_score (GaussianBubbles)."""
+
+    def on_validation_end(self, trainer, epoch, metrics):
+        dm = trainer.datamodule
+        if not hasattr(dm, "ground_truth_score"):
+            return
+        from iddiff.models import get_score_fn
+
+        rng = jax.random.PRNGKey(1000 + epoch)
+        x = jnp.asarray(dm.val_data[:512])
+        rng, kt, kz = jax.random.split(rng, 3)
+        t = jax.random.uniform(
+            kt, (x.shape[0],), minval=trainer.sampling_eps, maxval=trainer.sde.T
+        )
+        xt = trainer.sde.perturb(kz, x, t)
+        s_gt = dm.ground_truth_score(xt, t, trainer.sde)
+        score_fn = get_score_fn(
+            trainer.sde, trainer.model, trainer.state.ema_params, train=False
+        )
+        s = score_fn(xt, t)
+        g2 = trainer.sde.sde(jnp.zeros_like(t), t)[1] ** 2
+        fisher = jnp.mean(g2 * jnp.sum((s_gt - s) ** 2, axis=-1))
+        metrics["fisher_divergence"] = float(fisher)
+
+
+@register_callback(name="base")
+class ImageVisualization(Callback):
+    """Sample-grid visualization every `viz_frequency` epochs
+    (callbacks.py:144-170, default every 100)."""
+
+    def on_validation_end(self, trainer, epoch, metrics):
+        freq = trainer.config.logging.get("viz_frequency", 100)
+        if epoch % max(freq, 1) != 0:
+            return
+        samples = np.asarray(trainer.sample(num_samples=16))
+        if samples.ndim != 4:
+            return
+        try:
+            from iddiff.analysis.plots import image_grid
+
+            trainer.metrics.image(
+                int(trainer.state.step), "samples", image_grid(samples)
+            )
+        except Exception:
+            pass
+
+
+@register_callback(name="2DSamplesVisualization")
+class Samples2DVisualization(Callback):
+    """Scatter of generated vs data points (callbacks.py:197-238)."""
+
+    def on_validation_end(self, trainer, epoch, metrics):
+        freq = trainer.config.logging.get("viz_frequency", 10)
+        if epoch % max(freq, 1) != 0:
+            return
+        samples = np.asarray(trainer.sample(num_samples=512))
+        if samples.ndim != 2 or samples.shape[1] != 2:
+            return
+        try:
+            from iddiff.analysis.plots import scatter_figure
+
+            fig = scatter_figure(samples, trainer.datamodule.val_data[:512])
+            trainer.metrics.figure(int(trainer.state.step), "samples_2d", fig)
+        except Exception:
+            pass
+
+
+@register_callback(name="2DVectorFieldVisualization")
+class VectorField2DVisualization(Callback):
+    """Learned score field quiver plot (callbacks.py:300-338)."""
+
+    def on_validation_end(self, trainer, epoch, metrics):
+        freq = trainer.config.logging.get("viz_frequency", 10)
+        if epoch % max(freq, 1) != 0:
+            return
+        from iddiff.models import get_score_fn
+
+        if trainer.datamodule.train_data.shape[-1] != 2:
+            return
+        score_fn = get_score_fn(
+            trainer.sde, trainer.model, trainer.state.ema_params, train=False
+        )
+        n = 25
+        grid = np.stack(
+            np.meshgrid(np.linspace(-2, 2, n), np.linspace(-2, 2, n)), -1
+        ).reshape(-1, 2)
+        t = jnp.full((n * n,), trainer.sampling_eps)
+        field = np.asarray(score_fn(jnp.asarray(grid, jnp.float32), t))
+        try:
+            from iddiff.analysis.plots import quiver_figure
+
+            fig = quiver_figure(grid, field, n)
+            trainer.metrics.figure(int(trainer.state.step), "vector_field", fig)
+        except Exception:
+            pass
+
+
+def get_callbacks(config):
+    """Compose callbacks from config.training.visualization_callback
+    (mirrors lightning_callbacks/utils.py:24-51; EMA/config are built-in)."""
+    names = config.training.get("visualization_callback", None) or []
+    if isinstance(names, str):
+        names = [names]
+    out = []
+    for name in names:
+        if name in CALLBACKS:
+            out.append(CALLBACKS.get(name)())
+    return out

@@ -1,0 +1,77 @@
+"""Jitted train/eval steps with mesh sharding.
+
+One compiled XLA program per step replaces the reference's
+Lightning training_step + manual backward + clip + Adam + LambdaLR + EMA
+side-stream pipeline (/root/reference/lightning_modules/
+BaseSdeGenerativeModel.py:60-107, lightning_callbacks/ema.py:213-257).
+
+Sharding: state (params/opt/ema) replicated, batch sharded over the mesh
+'data' axis — XLA inserts the gradient psum over ICI (the NCCL-allreduce
+equivalent, SURVEY.md §2.13).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .state import TrainState
+
+
+def make_train_step(loss_fn, optimizer, ema_rate: float, mesh=None):
+    """Build `train_step(state, batch) -> (state, loss)`.
+
+    loss_fn: (params, batch, rng) -> scalar.
+    """
+
+    def train_step(state: TrainState, batch):
+        rng, sub = jax.random.split(state.rng)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, sub)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: ema_rate * e + (1.0 - ema_rate) * p,
+            state.ema_params,
+            params,
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            ema_params=ema,
+            opt_state=opt_state,
+            rng=rng,
+        )
+        return new_state, loss
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(loss_fn, mesh=None, use_ema: bool = True):
+    """`eval_step(state, batch, rng) -> loss` with EMA weights (the
+    reference swaps EMA in for validation, ema.py:65-90)."""
+
+    def eval_step(state: TrainState, batch, rng):
+        params = state.ema_params if use_ema else state.params
+        return loss_fn(params, batch, rng)
+
+    if mesh is None:
+        return jax.jit(eval_step)
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        eval_step, in_shardings=(repl, data, repl), out_shardings=repl
+    )

@@ -1,0 +1,199 @@
+"""Host training loop: one jitted step, sharded batches, orbax checkpoints.
+
+Replaces pl.Trainer + Lightning module plumbing
+(/root/reference/run_lib.py:37-71, lightning_modules/BaseSdeGenerativeModel.py).
+The hot loop is a single compiled train_step; the host only feeds sharded
+batches and runs amortized bookkeeping (validation, callbacks, checkpoints).
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iddiff.data import create_datamodule
+from iddiff.losses import get_sde_loss_fn
+from iddiff.models import create_model
+from iddiff.parallel import make_mesh, replicate, shard_batch
+from iddiff.sde import get_sde
+
+from .callbacks import get_callbacks
+from .checkpoints import CheckpointKeeper
+from .metrics import MetricsWriter
+from .optim import make_optimizer
+from .state import TrainState
+from .train_step import make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(self, config, workdir: str, datamodule=None, mesh=None):
+        self.config = config
+        self.workdir = workdir
+        self.datamodule = datamodule or create_datamodule(config)
+        self.datamodule.setup()
+
+        self.sde, self.sampling_eps = get_sde(config)
+        self.model = create_model(config)
+        self.mesh = mesh if mesh is not None else make_mesh()
+
+        conditional = bool(config.training.get("conditional", False))
+        self.train_loss_fn = get_sde_loss_fn(
+            self.sde, self.model, train=True, conditional=conditional,
+            reduce_mean=config.training.get("reduce_mean", False),
+            continuous=config.training.get("continuous", True),
+            likelihood_weighting=config.training.get("likelihood_weighting", True),
+            eps=self.sampling_eps,
+        )
+        self.eval_loss_fn = get_sde_loss_fn(
+            self.sde, self.model, train=False, conditional=conditional,
+            reduce_mean=config.training.get("reduce_mean", False),
+            continuous=config.training.get("continuous", True),
+            likelihood_weighting=config.training.get("likelihood_weighting", True),
+            eps=self.sampling_eps,
+        )
+        self.optimizer = make_optimizer(config)
+        self.train_step = make_train_step(
+            self.train_loss_fn, self.optimizer,
+            ema_rate=float(config.model.get("ema_rate", 0.999)),
+            mesh=self.mesh,
+        )
+        self.eval_step = make_eval_step(self.eval_loss_fn, mesh=self.mesh)
+
+        self.metrics = MetricsWriter(workdir)
+        self.callbacks = get_callbacks(config)
+        log = config.get("logging", None)
+        every_td = None
+        if log is not None and log.get("envery_timedelta", None) is not None:
+            every_td = log.envery_timedelta.total_seconds()
+        self.keeper = CheckpointKeeper(
+            workdir, config=config,
+            top_k=(log.get("top_k", 3) if log else 3) or 3,
+            every_n_epochs=(log.get("every_n_epochs", None) if log else None),
+            every_timedelta_s=every_td,
+        )
+
+        self.state = self._init_state()
+        self._sampler = None
+
+    # ------------------------------------------------------------------
+    def _example_batch(self):
+        batch = next(iter(self.datamodule.train_dataloader()))
+        return batch
+
+    def _init_inputs(self, batch):
+        """(x, t) example inputs for model.init, handling conditional dicts."""
+        if isinstance(batch, tuple):
+            y, x = batch
+            t = jnp.zeros((x.shape[0],))
+            return {"x": jnp.asarray(x), "y": jnp.asarray(y)}, t
+        x = jnp.asarray(batch)
+        return x, jnp.zeros((x.shape[0],))
+
+    def _init_state(self) -> TrainState:
+        rng = jax.random.PRNGKey(int(self.config.get("seed", 42)))
+        rng, k_init, k_state = jax.random.split(rng, 3)
+        x, t = self._init_inputs(self._example_batch())
+        params = self.model.init({"params": k_init, "dropout": k_init}, x, t)[
+            "params"
+        ]
+        opt_state = self.optimizer.init(params)
+        state = TrainState.create(params, opt_state, k_state)
+        return replicate(self.mesh, state)
+
+    # ------------------------------------------------------------------
+    def fit(self, resume: bool = False):
+        cfg = self.config
+        if resume:
+            try:
+                self.state = self.keeper.restore(self.state, which="last")
+                print(f"[iddiff] resumed from step {int(self.state.step)}")
+            except FileNotFoundError:
+                pass
+        for cb in self.callbacks:
+            cb.on_fit_start(self)
+
+        num_epochs = int(min(cfg.training.get("num_epochs", 10_000), 10_000_000))
+        n_iters = int(min(cfg.training.get("n_iters", 1e9), 1e15))
+        log_freq = int(cfg.training.get("log_freq", 50))
+
+        step = int(self.state.step)
+        done = False
+        for epoch in range(num_epochs):
+            if done:
+                break
+            t0 = time.time()
+            losses = []
+            for batch in self.datamodule.train_dataloader():
+                if not self._mesh_divisible(batch):
+                    continue
+                batch = shard_batch(self.mesh, self._to_device(batch))
+                self.state, loss = self.train_step(self.state, batch)
+                step += 1
+                if step % log_freq == 0:
+                    losses.append(float(loss))
+                    self.metrics.scalars(step, train_loss=float(loss))
+                if step >= n_iters:
+                    done = True
+                    break
+            epoch_time = time.time() - t0
+
+            # --- validation with EMA weights ---
+            eval_metrics = self.validate(epoch)
+            eval_metrics["epoch_time"] = epoch_time
+            if losses:
+                eval_metrics["train_loss_epoch"] = float(np.mean(losses))
+            for cb in self.callbacks:
+                cb.on_validation_end(self, epoch, eval_metrics)
+            self.metrics.scalars(step, **{
+                k: v for k, v in eval_metrics.items() if np.isscalar(v)
+            })
+            self.keeper.save_eval(step, self.state, eval_metrics["eval_loss"])
+            self.keeper.maybe_save_periodic(step, self.state, epoch)
+            for cb in self.callbacks:
+                cb.on_epoch_end(self, epoch)
+        self.keeper.wait()
+        return self.state
+
+    def validate(self, epoch: int) -> dict:
+        rng = jax.random.PRNGKey(7919 + epoch)
+        losses = []
+        for i, batch in enumerate(self.datamodule.val_dataloader()):
+            if not self._mesh_divisible(batch):
+                continue
+            rng, sub = jax.random.split(rng)
+            batch = shard_batch(self.mesh, self._to_device(batch))
+            losses.append(float(self.eval_step(self.state, batch, sub)))
+            if i >= 16:
+                break
+        return {"eval_loss": float(np.mean(losses)) if losses else float("nan")}
+
+    def _mesh_divisible(self, batch) -> bool:
+        n = self.mesh.shape["data"]
+        lead = (batch[0] if isinstance(batch, tuple) else batch).shape[0]
+        return lead % n == 0
+
+    def _to_device(self, batch):
+        if isinstance(batch, tuple):
+            return tuple(jnp.asarray(b) for b in batch)
+        return jnp.asarray(batch)
+
+    # ------------------------------------------------------------------
+    def sample(self, num_samples: int = None, use_ema: bool = True, seed: int = 0):
+        """On-demand sampling (BaseSdeGenerativeModel.sample, :70-84)."""
+        from iddiff.sampling import get_sampling_fn
+
+        cfg = self.config
+        shape = (num_samples or cfg.validation.batch_size,) + tuple(
+            self.datamodule.train_data.shape[1:]
+        )
+        if self._sampler is None or self._sampler[0] != shape:
+            fn = get_sampling_fn(cfg, self.sde, self.model, shape,
+                                 eps=self.sampling_eps)
+            self._sampler = (shape, fn)
+        params = self.state.ema_params if use_ema else self.state.params
+        out = self._sampler[1](jax.random.PRNGKey(seed), params)
+        if isinstance(out, tuple):
+            out = out[0]
+        return out

@@ -1,0 +1,82 @@
+"""iddiff CLI — TPU-native rebuild of /root/reference/main.py:13-79.
+
+Usage:
+  python main.py --config iddiff/configs/dimension_estimation/ksphere.py \
+      --mode train --workdir logs/ksphere10
+  python main.py --config <path.py|.pkl> --mode manifold_dimension \
+      --checkpoint_path <workdir>
+
+Modes: train | manifold_dimension | conditional_manifold_dimension | test |
+       multi_scale_test | compute_dataset_statistics
+(The reference's inspect_VAE / scoreVAE modes are dead code, SURVEY.md §2.12.)
+"""
+from __future__ import annotations
+
+from absl import app, flags
+
+FLAGS = flags.FLAGS
+
+flags.DEFINE_string("config", None, "Path to a config .py (get_config()) or .pkl")
+flags.DEFINE_string(
+    "mode", "train",
+    "train | manifold_dimension | conditional_manifold_dimension | test | "
+    "multi_scale_test | compute_dataset_statistics",
+)
+flags.DEFINE_string("workdir", None, "Working dir (default logging.log_path/log_name)")
+flags.DEFINE_string("checkpoint_path", None, "Checkpoint dir override")
+flags.DEFINE_string("config_variant", None, "Optional get_config(variant) argument")
+flags.DEFINE_bool("debug", False, "Shrink batches/epochs for a quick smoke run")
+flags.DEFINE_bool("resume", True, "Resume training from the last checkpoint")
+flags.mark_flags_as_required(["config"])
+
+
+def main(argv):
+    del argv
+    from iddiff.configs.utils import read_config
+    from iddiff import run_lib
+
+    if FLAGS.config.endswith(".pkl"):
+        config = read_config(FLAGS.config)
+    else:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location("exp_config", FLAGS.config)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        if FLAGS.config_variant:
+            config = mod.get_config(FLAGS.config_variant)
+        else:
+            config = mod.get_config()
+
+    if FLAGS.checkpoint_path:
+        config.model.checkpoint_path = FLAGS.checkpoint_path
+    if FLAGS.debug:  # main.py:45-56 parity
+        config.training.batch_size = min(config.training.batch_size, 32)
+        config.validation.batch_size = min(config.validation.batch_size, 32)
+        config.training.num_epochs = 2
+        config.training.n_iters = 50
+        config.data.data_samples = min(config.data.get("data_samples", 1000), 1000)
+        config.logging.svd_frequency = 1
+        config.logging.svd_points = 2
+
+    mode = FLAGS.mode
+    if mode == "train":
+        run_lib.train(config, workdir=FLAGS.workdir, resume=FLAGS.resume)
+    elif mode == "manifold_dimension":
+        run_lib.get_manifold_dimension(config, workdir=FLAGS.workdir)
+    elif mode == "conditional_manifold_dimension":
+        run_lib.get_conditional_manifold_dimension(config, workdir=FLAGS.workdir)
+    elif mode == "test":
+        run_lib.test(config, workdir=FLAGS.workdir)
+    elif mode == "multi_scale_test":
+        from iddiff.multiscale import multi_scale_test
+
+        multi_scale_test(config, workdir=FLAGS.workdir)
+    elif mode == "compute_dataset_statistics":
+        run_lib.compute_dataset_statistics(config, workdir=FLAGS.workdir)
+    else:
+        raise ValueError(f"Unknown mode '{mode}'")
+
+
+if __name__ == "__main__":
+    app.run(main)

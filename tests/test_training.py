@@ -1,0 +1,182 @@
+"""Training system tests: step semantics, EMA, checkpoints, full Trainer.fit."""
+import os
+
+import jax
+import jax.numpy as jnp
+import ml_collections
+import numpy as np
+import pytest
+
+from iddiff.configs.dimension_estimation.gaussian_bubbles import get_config as bubbles_config
+from iddiff.configs.dimension_estimation.ksphere import ksphere_config
+from iddiff.losses import get_sde_loss_fn
+from iddiff.models import create_model
+from iddiff.parallel import make_mesh, shard_batch, replicate
+from iddiff.sde import get_sde
+from iddiff.training import (
+    TrainState,
+    Trainer,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def tiny_bubbles_config(**overrides):
+    config = bubbles_config()
+    config.data.data_samples = 600
+    config.training.batch_size = 64
+    config.validation.batch_size = 64
+    config.eval.batch_size = 64
+    config.training.num_epochs = 2
+    config.training.n_iters = 1000
+    config.training.log_freq = 5
+    config.model.hidden_nodes = 64
+    config.model.hidden_layers = 1
+    config.optim.warmup = 10
+    config.logging.viz_frequency = 1
+    for k, v in overrides.items():
+        config.update_from_flattened_dict({k: v})
+    return config
+
+
+def _setup(config):
+    sde, eps = get_sde(config)
+    model = create_model(config)
+    loss_fn = get_sde_loss_fn(sde, model, train=True, eps=eps)
+    optimizer = make_optimizer(config)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.ones((8, config.model.state_size))
+    params = model.init(rng, x, jnp.zeros((8,)))["params"]
+    state = TrainState.create(params, optimizer.init(params), rng)
+    return sde, model, loss_fn, optimizer, state
+
+
+def test_train_step_decreases_loss_and_updates_ema():
+    config = tiny_bubbles_config()
+    sde, model, loss_fn, optimizer, state = _setup(config)
+    mesh = make_mesh()
+    step = make_train_step(loss_fn, optimizer, ema_rate=0.9, mesh=mesh)
+    state = replicate(mesh, state)
+    batch = shard_batch(
+        mesh, jax.random.normal(jax.random.PRNGKey(1), (64, 2)) * 0.5
+    )
+    losses = []
+    for _ in range(60):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9
+    assert int(state.step) == 60
+    # EMA params lag behind but moved from init
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    e0 = jax.tree_util.tree_leaves(state.ema_params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(e0))
+
+
+def test_eval_step_uses_ema_params():
+    config = tiny_bubbles_config()
+    sde, model, loss_fn, optimizer, state = _setup(config)
+    eval_fn = get_sde_loss_fn(sde, model, train=False, eps=1e-5)
+    ev = make_eval_step(eval_fn)
+    # corrupt params but keep ema: eval must follow ema
+    bad_params = jax.tree_util.tree_map(lambda x: x * 100.0, state.params)
+    state2 = state.replace(params=bad_params)
+    batch = jax.random.normal(jax.random.PRNGKey(2), (32, 2))
+    l_ema = float(ev(state2, batch, jax.random.PRNGKey(3)))
+    state3 = state.replace(params=bad_params, ema_params=bad_params)
+    l_bad = float(ev(state3, batch, jax.random.PRNGKey(3)))
+    assert l_ema != l_bad
+
+
+def test_optimizer_warmup_schedule():
+    """lr ramps linearly: after 1 step of warmup-10, update magnitude is small."""
+    config = tiny_bubbles_config()
+    config.optim.warmup = 10_000
+    sde, model, loss_fn, optimizer, state = _setup(config)
+    step = make_train_step(loss_fn, optimizer, ema_rate=0.99)
+    batch = jax.random.normal(jax.random.PRNGKey(1), (32, 2))
+    # snapshot before stepping: the train step donates the state buffers
+    params0 = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), state.params)
+    s1, _ = step(state, batch)
+    delta = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, params0
+    )
+    max_delta = max(jax.tree_util.tree_leaves(delta))
+    # first step lr = lr/warmup -> tiny update
+    assert max_delta < 1e-5
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from iddiff.training.checkpoints import CheckpointKeeper
+
+    config = tiny_bubbles_config()
+    _, _, loss_fn, optimizer, state = _setup(config)
+    keeper = CheckpointKeeper(str(tmp_path / "ckpt"), config=None, top_k=2)
+    keeper.save_eval(1, state, eval_loss=5.0)
+    keeper.save_eval(2, state.replace(step=jnp.array(2, jnp.int32)), eval_loss=3.0)
+    keeper.wait()
+    restored = keeper.restore(state, which="best")
+    assert int(restored.step) == 2
+    restored_last = keeper.restore(state, which="last")
+    assert int(restored_last.step) == 2
+    leaves0 = jax.tree_util.tree_leaves(state.params)
+    leaves1 = jax.tree_util.tree_leaves(restored.params)
+    for a, b in zip(leaves0, leaves1):
+        np.testing.assert_allclose(a, b)
+
+
+def test_trainer_fit_end_to_end(tmp_path):
+    """Two epochs on GaussianBubbles: loss drops, checkpoints exist,
+    Fisher divergence + 2D viz callbacks run, metrics.jsonl written."""
+    config = tiny_bubbles_config()
+    wd = str(tmp_path / "run")
+    trainer = Trainer(config, workdir=wd)
+    state = trainer.fit()
+    assert int(state.step) > 0
+    assert os.path.exists(os.path.join(wd, "metrics.jsonl"))
+    assert os.path.exists(os.path.join(wd, "config.pkl"))
+    # checkpoints written
+    assert trainer.keeper.latest_step() is not None
+    # fisher divergence logged (GaussianBubbles has the analytic score)
+    import json
+
+    recs = [json.loads(l) for l in open(os.path.join(wd, "metrics.jsonl"))]
+    keys = set(k for r in recs for k in r)
+    assert "eval_loss" in keys
+    assert "fisher_divergence" in keys
+
+
+def test_trainer_resume(tmp_path):
+    config = tiny_bubbles_config()
+    wd = str(tmp_path / "run")
+    t1 = Trainer(config, workdir=wd)
+    s1 = t1.fit()
+    step1 = int(s1.step)
+    t2 = Trainer(config, workdir=wd)
+    t2.state = t2.keeper.restore(t2.state, which="last")
+    assert int(t2.state.step) == step1
+
+
+def test_trainer_ksphere_with_spectrum_callback(tmp_path):
+    """Mini k-sphere run with the in-training ID hook: 'dim' metric logged."""
+    config = ksphere_config(manifold_dim=3, ambient_dim=16)
+    config.data.data_samples = 500
+    config.training.batch_size = 100
+    config.validation.batch_size = 100
+    config.eval.batch_size = 100
+    config.training.num_epochs = 1
+    config.training.n_iters = 20
+    config.model.hidden_nodes = 64
+    config.model.hidden_layers = 1
+    config.model.num_scales = 100
+    config.logging.svd_frequency = 1
+    config.logging.svd_points = 2
+    wd = str(tmp_path / "ks")
+    trainer = Trainer(config, workdir=wd)
+    trainer.fit()
+    import json
+
+    recs = [json.loads(l) for l in open(os.path.join(wd, "metrics.jsonl"))]
+    keys = set(k for r in recs for k in r)
+    assert "dim" in keys  # ScoreSpectrumVisualization ran
+    assert "sample_norm_mean" in keys  # KSphereEvaluation ran
