@@ -89,13 +89,54 @@ def score_spectrum_fn(sde, score_fn, *, data_shape, batch_size: int,
     return spectrum, K
 
 
+def make_spectra_fn(sde, model, *, data_shape, batch_size: int, t: float,
+                    mesh=None, continuous: bool = True):
+    """Build a REUSABLE jitted `fn(rng, params, datapoints) -> (P, d) spectra`.
+
+    Params are a traced argument (not a baked-in constant), so EMA swaps and
+    repeated calls hit the same compiled executable — this is the production
+    entry point for the in-training ID hook and the benchmark.  When `mesh`
+    is given, the datapoint axis is sharded over its 'data' axis.
+    """
+    from iddiff.models import get_score_fn
+
+    d = int(math.prod(data_shape))
+    num_batches, extra, K = num_score_batches(d, batch_size)
+
+    def spectra(rng, params, datapoints):
+        score_fn = get_score_fn(sde, model, params, train=False,
+                                continuous=continuous)
+        spectrum, _ = score_spectrum_fn(
+            sde, score_fn, data_shape=data_shape, batch_size=batch_size, t=t,
+            num_batches=num_batches, extra_in_last_batch=extra,
+        )
+        rngs = jax.random.split(rng, datapoints.shape[0])
+        return jax.vmap(spectrum)(rngs, datapoints)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P_
+
+        repl = NamedSharding(mesh, P_())
+        shard = NamedSharding(mesh, P_("data"))
+        fn = jax.jit(
+            spectra,
+            in_shardings=(repl, repl, shard),
+            out_shardings=shard,
+        )
+    else:
+        fn = jax.jit(spectra)
+    return fn, K
+
+
 def collect_spectra(rng, sde, score_fn, datapoints, *, batch_size: int,
                     t: float, mesh=None):
-    """Singular-value spectra for a batch of datapoints: (P, d).
+    """One-shot convenience: spectra for a batch of datapoints (P, d).
 
-    `datapoints`: (P, *data_shape).  When `mesh` is given, the datapoint axis
-    is sharded over its 'data' axis (the reference's single-device loop,
-    dim_reduction.py:154-202, becomes embarrassingly parallel SPMD).
+    `score_fn` is closed over (params baked as constants) — fine for CLI
+    one-offs; for repeated calls use `make_spectra_fn` to avoid retracing.
+    When `mesh` is given the datapoint axis is sharded over its 'data' axis
+    (the reference's single-device loop, dim_reduction.py:154-202, becomes
+    embarrassingly parallel SPMD).
     """
     data_shape = datapoints.shape[1:]
     spectrum, K = score_spectrum_fn(

@@ -1,0 +1,126 @@
+"""upfirdn2d: fused upsample → FIR filter → downsample (StyleGAN2 resampling).
+
+TPU-native equivalent of the reference CUDA kernel
+(/root/reference/op/upfirdn2d_kernel.cu:49-368 + op/upfirdn2d.py:19-200).
+
+Design note (why this is NOT a Pallas kernel): on TPU the whole
+up-FIR-down pipeline is exactly one XLA `conv_general_dilated` —
+lhs_dilation performs the zero-insertion upsample, the (possibly negative)
+padding is native, window strides perform the downsample, and
+feature_group_count=C makes it depthwise.  XLA lowers this to the native
+TPU convolution path, fused end-to-end in one HBM pass; a hand-written
+Pallas kernel would re-derive the same schedule.  The hand-written CUDA
+backward (op/upfirdn2d.py:19-85, transposed filter + gradient padding) is
+unnecessary: autodiff of conv_general_dilated produces exactly that
+transposed convolution.
+
+Layout: NHWC (TPU-native; the reference is NCHW).
+`upfirdn2d_native` is a gather/pad reference implementation mirroring
+op/upfirdn2d.py:159-200 for unit tests.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _parse2(v):
+    if isinstance(v, (tuple, list)):
+        return tuple(v)
+    return (v, v)
+
+
+def upfirdn2d(x: jax.Array, kernel: jax.Array, up=1, down=1, pad=(0, 0)):
+    """x: (N, H, W, C); kernel: (kh, kw) FIR filter.
+
+    Semantics identical to the reference wrapper (op/upfirdn2d.py:145-156):
+    zero-insert upsample by `up`, pad by (pad[0], pad[1]) on both spatial
+    dims, TRUE convolution with `kernel`, then stride-`down` decimation.
+    """
+    up_x, up_y = _parse2(up)
+    down_x, down_y = _parse2(down)
+    pad_x0, pad_x1 = pad if len(pad) == 2 else (pad[0], pad[1])
+
+    n, h, w, c = x.shape
+    kh, kw = kernel.shape
+    # true convolution == cross-correlation with the flipped kernel
+    k = jnp.flip(kernel, (0, 1)).astype(x.dtype)
+    # depthwise filter: (kh, kw, 1, C) with feature_group_count=C (HWIO)
+    k = jnp.tile(k[:, :, None, None], (1, 1, 1, c))
+    # lhs_dilation inserts zeros BETWEEN samples only; zero-insertion
+    # upsampling also appends (up-1) trailing zeros — fold them into the
+    # right/bottom padding so shapes match the reference exactly.
+    return lax.conv_general_dilated(
+        x,
+        k,
+        window_strides=(down_y, down_x),
+        padding=(
+            (pad_x0, pad_x1 + up_y - 1),
+            (pad_x0, pad_x1 + up_x - 1),
+        ),
+        lhs_dilation=(up_y, up_x),
+        rhs_dilation=(1, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+def upfirdn2d_native(x: jax.Array, kernel: jax.Array, up_x=1, up_y=1,
+                     down_x=1, down_y=1, pad_x0=0, pad_x1=0, pad_y0=0,
+                     pad_y1=0):
+    """Pure pad/slice reference (mirrors op/upfirdn2d.py:159-200), NHWC."""
+    n, in_h, in_w, c = x.shape
+    kh, kw = kernel.shape
+    # zero-insert upsample
+    out = x.reshape(n, in_h, 1, in_w, 1, c)
+    out = jnp.pad(out, [(0, 0), (0, 0), (0, up_y - 1), (0, 0), (0, up_x - 1), (0, 0)])
+    out = out.reshape(n, in_h * up_y, in_w * up_x, c)
+    # pad (negative = crop)
+    out = jnp.pad(
+        out,
+        [(0, 0), (max(pad_y0, 0), max(pad_y1, 0)),
+         (max(pad_x0, 0), max(pad_x1, 0)), (0, 0)],
+    )
+    out = out[
+        :,
+        max(-pad_y0, 0): out.shape[1] - max(-pad_y1, 0),
+        max(-pad_x0, 0): out.shape[2] - max(-pad_x1, 0),
+        :,
+    ]
+    # true convolution via explicit patch sum
+    hh = out.shape[1] - kh + 1
+    ww = out.shape[2] - kw + 1
+    kflip = jnp.flip(kernel, (0, 1))
+    acc = jnp.zeros((n, hh, ww, c), dtype=x.dtype)
+    for i in range(kh):
+        for j in range(kw):
+            acc = acc + kflip[i, j] * out[:, i: i + hh, j: j + ww, :]
+    return acc[:, ::down_y, ::down_x, :]
+
+
+def _setup_kernel(k) -> jax.Array:
+    k = jnp.asarray(k, dtype=jnp.float32)
+    if k.ndim == 1:
+        k = jnp.outer(k, k)
+    return k / jnp.sum(k)
+
+
+def upsample_2d(x, k=None, factor=2, gain=1):
+    """FIR upsample (models/up_or_down_sampling.py:140-174 semantics), NHWC."""
+    if k is None:
+        k = [1] * factor
+    k = _setup_kernel(k) * (gain * (factor**2))
+    p = k.shape[0] - factor
+    return upfirdn2d(
+        x, k, up=factor, pad=((p + 1) // 2 + factor - 1, p // 2)
+    )
+
+
+def downsample_2d(x, k=None, factor=2, gain=1):
+    """FIR downsample (models/up_or_down_sampling.py:223-256 semantics), NHWC."""
+    if k is None:
+        k = [1] * factor
+    k = _setup_kernel(k) * gain
+    p = k.shape[0] - factor
+    return upfirdn2d(x, k, down=factor, pad=((p + 1) // 2, p // 2))

@@ -1,0 +1,99 @@
+"""Normalization layers (behavioral rebuild of /root/reference/models/normalization.py:22-215).
+
+`get_normalization(config)` maps config.model.normalization →
+GroupNorm | InstanceNorm++ | InstanceNorm | VarianceNorm (the NCSNv1/v2
+family).  Conditional (class-embedded γ/β) variants take an extra label
+argument.  Layout NHWC; instance statistics are over (H, W).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class InstanceNorm2d(nn.Module):
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        mean = x.mean(axis=(1, 2), keepdims=True)
+        var = x.var(axis=(1, 2), keepdims=True)
+        h = (x - mean) / jnp.sqrt(var + 1e-5)
+        C = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.ones, (C,))
+        h = h * gamma
+        if self.bias:
+            beta = self.param("beta", nn.initializers.zeros, (C,))
+            h = h + beta
+        return h
+
+
+class VarianceNorm2d(nn.Module):
+    """Scale by inverse std only (normalization.py VarianceNorm2d)."""
+
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        var = x.var(axis=(1, 2), keepdims=True)
+        h = x / jnp.sqrt(var + 1e-5)
+        C = x.shape[-1]
+        alpha = self.param(
+            "alpha",
+            lambda k, s: 1.0 + 0.02 * jax.random.normal(k, s),
+            (C,),
+        )
+        out = h * alpha
+        if self.bias:
+            out = out + self.param("beta", nn.initializers.zeros, (C,))
+        return out
+
+
+class InstanceNorm2dPlus(nn.Module):
+    """NCSN's InstanceNorm++ — re-injects the per-channel mean statistics so
+    the norm does not erase global color/level information
+    (normalization.py InstanceNorm2dPlus)."""
+
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        means = x.mean(axis=(1, 2))  # (B, C)
+        m = means.mean(axis=-1, keepdims=True)
+        v = means.var(axis=-1, keepdims=True)
+        means_norm = (means - m) / jnp.sqrt(v + 1e-5)  # (B, C)
+
+        mean = x.mean(axis=(1, 2), keepdims=True)
+        var = x.var(axis=(1, 2), keepdims=True)
+        h = (x - mean) / jnp.sqrt(var + 1e-5)
+
+        gamma = self.param(
+            "gamma", lambda k, s: 1.0 + 0.02 * jax.random.normal(k, s), (C,)
+        )
+        alpha = self.param(
+            "alpha", lambda k, s: 1.0 + 0.02 * jax.random.normal(k, s), (C,)
+        )
+        out = gamma * h + means_norm[:, None, None, :] * alpha
+        if self.bias:
+            out = out + self.param("beta", nn.initializers.zeros, (C,))
+        return out
+
+
+def get_normalization(config, conditional: bool = False):
+    """(normalization.py:22-40); returns a Module CLASS to instantiate."""
+    norm = config.model.get("normalization", "GroupNorm")
+    if conditional:
+        raise NotImplementedError(
+            "conditional normalization: not used by any shipped config"
+        )
+    if norm == "InstanceNorm":
+        return InstanceNorm2d
+    if norm == "InstanceNorm++":
+        return InstanceNorm2dPlus
+    if norm == "VarianceNorm":
+        return VarianceNorm2d
+    if norm == "GroupNorm":
+        return lambda: nn.GroupNorm(num_groups=32, epsilon=1e-6)
+    raise NotImplementedError(f"normalization '{norm}' unknown")

@@ -21,10 +21,14 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from .state import TrainState
 
 
-def make_train_step(loss_fn, optimizer, ema_rate: float, mesh=None):
+def make_train_step(loss_fn, optimizer, ema_rate: float, mesh=None,
+                    state_sharding=None):
     """Build `train_step(state, batch) -> (state, loss)`.
 
     loss_fn: (params, batch, rng) -> scalar.
+    state_sharding: optional TrainState-shaped pytree of NamedShardings for
+    tensor-parallel params (see parallel.infer_param_sharding); default is
+    fully replicated state (pure DP).
     """
 
     def train_step(state: TrainState, batch):
@@ -51,10 +55,11 @@ def make_train_step(loss_fn, optimizer, ema_rate: float, mesh=None):
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    state_in = state_sharding if state_sharding is not None else repl
     return jax.jit(
         train_step,
-        in_shardings=(repl, data),
-        out_shardings=(repl, repl),
+        in_shardings=(state_in, data),
+        out_shardings=(state_in, repl),
         donate_argnums=(0,),
     )
 

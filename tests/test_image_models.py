@@ -1,0 +1,168 @@
+"""Image score-network tests: DDPM U-Net + NCSN++ and their SR variants."""
+import jax
+import jax.numpy as jnp
+import ml_collections
+import numpy as np
+import pytest
+
+from iddiff.models import create_model, MODELS
+
+
+def image_config(name="ddpm", image_size=16, channels=1, **model_over):
+    config = ml_collections.ConfigDict()
+    config.model = model = ml_collections.ConfigDict()
+    model.name = name
+    model.nf = 16
+    model.ch_mult = [1, 2]
+    model.num_res_blocks = 1
+    model.attn_resolutions = [8]
+    model.dropout = 0.0
+    model.resamp_with_conv = True
+    model.conditional = True
+    model.nonlinearity = "swish"
+    model.input_channels = channels
+    model.output_channels = channels
+    model.num_scales = 100
+    # ncsnpp extras
+    model.fir = True
+    model.fir_kernel = [1, 3, 3, 1]
+    model.skip_rescale = True
+    model.resblock_type = "biggan"
+    model.progressive = "none"
+    model.progressive_input = "none"
+    model.progressive_combine = "sum"
+    model.embedding_type = "fourier"
+    model.fourier_scale = 16.0
+    model.init_scale = 0.0
+    for k, v in model_over.items():
+        setattr(model, k, v)
+    config.data = data = ml_collections.ConfigDict()
+    data.image_size = image_size
+    data.effective_image_size = image_size
+    data.num_channels = channels
+    data.centered = False
+    config.training = ml_collections.ConfigDict({"continuous": True})
+    return config
+
+
+def _init_and_forward(config, x, labels, batch_dict=None):
+    model = create_model(config)
+    inp = batch_dict if batch_dict is not None else x
+    params = model.init(jax.random.PRNGKey(0), inp, labels)["params"]
+    return model.apply({"params": params}, inp, labels), params
+
+
+def test_registry_image_models():
+    for name in ["ddpm", "ddpm_paired", "ddpm_paired_SR3", "ddpm_2xSR",
+                 "ddpm_KxSR", "ncsnpp", "ncsnpp_paired", "ncsnpp_2xSR",
+                 "ncsnpp_KxSR"]:
+        assert name in MODELS
+
+
+def test_ddpm_forward_shape():
+    config = image_config("ddpm")
+    x = jnp.ones((2, 16, 16, 1))
+    t = jnp.full((2,), 50.0)
+    out, params = _init_and_forward(config, x, t)
+    assert out.shape == (2, 16, 16, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ddpm_time_conditioning_matters():
+    config = image_config("ddpm")
+    x = jnp.ones((1, 16, 16, 1))
+    model = create_model(config)
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)))["params"]
+    # At DDPM init every residual-branch output conv is zero-init, so the
+    # temb path is numerically suppressed (same in the reference).  Verify
+    # conditioning structurally: the output must have a nonzero gradient
+    # w.r.t. the time label.
+    def out_sum(t_scalar):
+        t = jnp.full((1,), t_scalar)
+        return jnp.sum(model.apply({"params": params}, x, t) ** 2)
+
+    g = jax.grad(out_sum)(50.0)
+    assert float(jnp.abs(g)) > 0.0
+
+
+def test_ddpm_sr3_variant():
+    config = image_config("ddpm_paired_SR3", channels=1)
+    config.model.input_channels = 2
+    x = jnp.ones((2, 16, 16, 1))
+    y = jnp.zeros((2, 16, 16, 1))
+    t = jnp.full((2,), 10.0)
+    out, _ = _init_and_forward(config, None, t, batch_dict={"x": x, "y": y})
+    assert out.shape == (2, 16, 16, 1)
+
+
+def test_ddpm_paired_variant_dict_output():
+    config = image_config("ddpm_paired", channels=2)
+    x = jnp.ones((2, 16, 16, 1))
+    y = jnp.zeros((2, 16, 16, 1))
+    out, _ = _init_and_forward(
+        config, None, jnp.full((2,), 10.0), batch_dict={"x": x, "y": y}
+    )
+    assert set(out.keys()) == {"x", "y"}
+    assert out["x"].shape == (2, 16, 16, 1)
+    assert out["y"].shape == (2, 16, 16, 1)
+
+
+def test_ddpm_2xsr_variant():
+    config = image_config("ddpm_2xSR", channels=5)  # 4 (squeezed x) + 1 (y)
+    x = jnp.ones((2, 16, 16, 1))
+    y = jnp.zeros((2, 8, 8, 1))
+    out, _ = _init_and_forward(
+        image_config("ddpm_2xSR", image_size=8, channels=5),
+        None, jnp.full((2,), 10.0), batch_dict={"x": x, "y": y},
+    )
+    assert out["x"].shape == (2, 16, 16, 1)
+    assert out["y"].shape == (2, 8, 8, 1)
+
+
+@pytest.mark.parametrize("resblock", ["ddpm", "biggan"])
+@pytest.mark.parametrize("fir", [False, True])
+def test_ncsnpp_forward(resblock, fir):
+    config = image_config("ncsnpp", resblock_type=resblock, fir=fir)
+    x = jnp.ones((2, 16, 16, 1))
+    t = jnp.full((2,), 0.5)
+    out, _ = _init_and_forward(config, x, t)
+    assert out.shape == (2, 16, 16, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ncsnpp_progressive():
+    """The paper-style full NCSN++: output_skip + input_skip + FIR + biggan."""
+    config = image_config(
+        "ncsnpp", progressive="output_skip", progressive_input="input_skip",
+        progressive_combine="sum",
+    )
+    x = jnp.ones((2, 16, 16, 1))
+    out, _ = _init_and_forward(config, x, jnp.full((2,), 0.5))
+    assert out.shape == (2, 16, 16, 1)
+
+
+def test_ncsnpp_progressive_residual():
+    config = image_config(
+        "ncsnpp", progressive="residual", progressive_input="residual",
+    )
+    x = jnp.ones((2, 16, 16, 1))
+    out, _ = _init_and_forward(config, x, jnp.full((2,), 0.5))
+    assert out.shape == (2, 16, 16, 1)
+
+
+def test_ddpm_trains_one_step():
+    """DSM gradient flows through the U-Net end-to-end."""
+    import optax
+    from iddiff.losses import get_sde_loss_fn
+    from iddiff.sde import VESDE
+
+    config = image_config("ddpm")
+    model = create_model(config)
+    sde = VESDE(sigma_min=0.01, sigma_max=10.0, N=100)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 1))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((4,)))["params"]
+    loss_fn = get_sde_loss_fn(sde, model, train=True, eps=1e-5)
+    loss, grads = jax.value_and_grad(loss_fn)(params, x, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    gnorm = optax.global_norm(grads)
+    assert float(gnorm) > 0

@@ -1,0 +1,104 @@
+"""Kernel tests: upfirdn2d vs native reference, fused_leaky_relu fwd/bwd."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iddiff.kernels import (
+    downsample_2d,
+    fused_leaky_relu,
+    upfirdn2d,
+    upfirdn2d_native,
+    upsample_2d,
+)
+
+
+@pytest.mark.parametrize(
+    "up,down,pad,kshape",
+    [
+        (1, 1, (1, 1), (3, 3)),
+        (2, 1, (2, 1), (4, 4)),
+        (1, 2, (1, 1), (4, 4)),
+        (2, 2, (1, 1), (3, 3)),
+        (1, 1, (0, 0), (1, 1)),
+    ],
+)
+def test_upfirdn2d_matches_native(up, down, pad, kshape):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=kshape).astype(np.float32))
+    fast = upfirdn2d(x, k, up=up, down=down, pad=pad)
+    ref = upfirdn2d_native(
+        x, k, up_x=up, up_y=up, down_x=down, down_y=down,
+        pad_x0=pad[0], pad_x1=pad[1], pad_y0=pad[0], pad_y1=pad[1],
+    )
+    assert fast.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-4)
+
+
+def test_upfirdn2d_gradient():
+    """Autodiff through the conv formulation equals numerical gradient."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 6, 6, 2)).astype(np.float32))
+    k = jnp.asarray([[1.0, 2.0], [3.0, 1.0]]) / 7.0
+
+    def f(x):
+        return jnp.sum(upfirdn2d(x, k, up=2, down=2, pad=(1, 1)) ** 2)
+
+    g = jax.grad(f)(x)
+    eps = 1e-3
+    x0 = np.asarray(x)
+    num = np.zeros_like(x0)
+    idx = [(0, 2, 3, 1), (0, 0, 0, 0), (0, 5, 5, 1)]
+    for i in idx:
+        xp, xm = x0.copy(), x0.copy()
+        xp[i] += eps
+        xm[i] -= eps
+        num_g = (float(f(jnp.asarray(xp))) - float(f(jnp.asarray(xm)))) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(g)[i], num_g, rtol=2e-2, atol=1e-4)
+
+
+def test_upsample_downsample_shapes_and_dc():
+    x = jnp.ones((2, 8, 8, 3))
+    up = upsample_2d(x, k=[1, 3, 3, 1], factor=2)
+    assert up.shape == (2, 16, 16, 3)
+    # DC gain: constant input stays constant (interior pixels)
+    np.testing.assert_allclose(np.asarray(up)[:, 4:-4, 4:-4], 1.0, atol=1e-4)
+    down = downsample_2d(x, k=[1, 3, 3, 1], factor=2)
+    assert down.shape == (2, 4, 4, 3)
+    np.testing.assert_allclose(np.asarray(down)[:, 1:-1, 1:-1], 1.0, atol=1e-4)
+
+
+def test_up_then_down_roundtrip_dc():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 1)).astype(np.float32))
+    y = downsample_2d(upsample_2d(x, factor=2), factor=2)  # box kernels
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-4)
+
+
+def test_fused_leaky_relu_forward():
+    x = jnp.asarray([[-1.0, 0.5], [2.0, -3.0]])
+    b = jnp.asarray([0.5, -0.5])
+    out = fused_leaky_relu(x, b, 0.2, 2**0.5)
+    y = np.asarray(x) + np.asarray(b)[None]
+    want = np.where(y >= 0, y, 0.2 * y) * 2**0.5
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6)
+
+
+def test_fused_leaky_relu_gradients():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+
+    def f(x, b):
+        return jnp.sum(fused_leaky_relu(x, b) ** 2)
+
+    gx, gb = jax.grad(f, argnums=(0, 1))(x, b)
+
+    def f_ref(x, b):
+        y = x + b[None]
+        return jnp.sum((jnp.where(y >= 0, y, 0.2 * y) * 2**0.5) ** 2)
+
+    gx_ref, gb_ref = jax.grad(f_ref, argnums=(0, 1))(x, b)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_ref), rtol=1e-5)
