@@ -4,6 +4,7 @@ from .score_fn import get_model_fn, get_score_fn, get_conditional_score_fn
 # Import model modules so they self-register.
 from . import fcn  # noqa: F401
 from . import ksphere_gt  # noqa: F401
+from . import potentials  # noqa: F401
 
 __all__ = [
     "register_model",

@@ -33,7 +33,17 @@ def get_pc_sampler(sde, model, shape, predictor="reverse_diffusion",
         score_fn = get_score_fn(sde, model, params, train=False,
                                 continuous=continuous)
         p_step = p_factory(sde, score_fn, probability_flow)
-        c_step = c_factory(sde, score_fn, snr, n_steps_each)
+        if corrector == "mala":
+            # MALA needs the model's energy head (unconditional.py:336-338)
+            def energy_fn(x, t):
+                return model.apply(
+                    {"params": params}, x, t * (sde.N - 1), method=model.energy
+                )
+
+            c_step = c_factory(sde, score_fn, snr, n_steps_each,
+                               energy_fn=energy_fn)
+        else:
+            c_step = c_factory(sde, score_fn, snr, n_steps_each)
 
         rng, rng_prior = jax.random.split(rng)
         x0 = sde.prior_sampling(rng_prior, shape)

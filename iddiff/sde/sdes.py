@@ -327,14 +327,32 @@ class SNRSDE(SDE):
         return _gaussian_logp(z, 1.0)
 
 
-def get_sde(config):
+def get_sde(config, conditional: bool = False):
     """Config → (sde, sampling_eps).
 
     Mirrors `BaseSdeGenerativeModel.configure_sde`
     (/root/reference/lightning_modules/BaseSdeGenerativeModel.py:27-47):
     vpsde/subvpsde → eps=1e-3, vesde/snrsde → eps=1e-5.
+
+    conditional=True mirrors ConditionalSdeGenerativeModel.configure_sde
+    (ConditionalSdeGenerativeModel.py:17-41): VESDE becomes a cVESDE for x
+    (+ a VESDE for y unless conditioning_approach == 'sr3').
     """
     name = config.training.sde.lower()
+    if conditional and name == "vesde":
+        sde_x = CVESDE(
+            sigma_min=config.model.sigma_min_x,
+            sigma_max=config.model.sigma_max_x,
+            N=config.model.num_scales,
+        )
+        if config.training.get("conditioning_approach", "ve") == "sr3":
+            return sde_x, 1e-5
+        sde_y = VESDE(
+            sigma_min=config.model.sigma_min_y,
+            sigma_max=config.model.sigma_max_y,
+            N=config.model.num_scales,
+        )
+        return {"x": sde_x, "y": sde_y}, 1e-5
     if name == "vpsde":
         sde = VPSDE(
             beta_min=config.model.beta_min,

@@ -22,18 +22,26 @@ from .state import TrainState
 
 
 def make_train_step(loss_fn, optimizer, ema_rate: float, mesh=None,
-                    state_sharding=None):
-    """Build `train_step(state, batch) -> (state, loss)`.
+                    state_sharding=None, with_scalars: bool = False):
+    """Build `train_step(state, batch[, scalars]) -> (state, loss)`.
 
-    loss_fn: (params, batch, rng) -> scalar.
+    loss_fn: (params, batch, rng[, scalars]) -> scalar.  `scalars` is an
+    optional traced float vector for epoch-dependent loss weights (FP weight
+    schedule, adaptive curl λ, annealed σ_y) — traced, so schedules never
+    trigger recompilation.
     state_sharding: optional TrainState-shaped pytree of NamedShardings for
     tensor-parallel params (see parallel.infer_param_sharding); default is
     fully replicated state (pure DP).
     """
 
-    def train_step(state: TrainState, batch):
+    def train_step(state: TrainState, batch, scalars=None):
         rng, sub = jax.random.split(state.rng)
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, sub)
+        if with_scalars:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, batch, sub, scalars
+            )
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, sub)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema = jax.tree_util.tree_map(
@@ -56,9 +64,10 @@ def make_train_step(loss_fn, optimizer, ema_rate: float, mesh=None,
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     state_in = state_sharding if state_sharding is not None else repl
+    in_shardings = (state_in, data) + ((repl,) if with_scalars else ())
     return jax.jit(
         train_step,
-        in_shardings=(state_in, data),
+        in_shardings=in_shardings,
         out_shardings=(state_in, repl),
         donate_argnums=(0,),
     )

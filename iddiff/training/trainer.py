@@ -14,7 +14,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from iddiff.data import create_datamodule
-from iddiff.losses import get_sde_loss_fn
 from iddiff.models import create_model
 from iddiff.parallel import make_mesh, replicate, shard_batch
 from iddiff.sde import get_sde
@@ -34,30 +33,24 @@ class Trainer:
         self.datamodule = datamodule or create_datamodule(config)
         self.datamodule.setup()
 
-        self.sde, self.sampling_eps = get_sde(config)
+        module_name = config.training.get("lightning_module", "base")
+        self.conditional = module_name.startswith("conditional") or \
+            module_name.startswith("haar_conditional")
+        self.sde, self.sampling_eps = get_sde(config, conditional=self.conditional)
         self.model = create_model(config)
         self.mesh = mesh if mesh is not None else make_mesh()
 
-        conditional = bool(config.training.get("conditional", False))
-        self.train_loss_fn = get_sde_loss_fn(
-            self.sde, self.model, train=True, conditional=conditional,
-            reduce_mean=config.training.get("reduce_mean", False),
-            continuous=config.training.get("continuous", True),
-            likelihood_weighting=config.training.get("likelihood_weighting", True),
-            eps=self.sampling_eps,
-        )
-        self.eval_loss_fn = get_sde_loss_fn(
-            self.sde, self.model, train=False, conditional=conditional,
-            reduce_mean=config.training.get("reduce_mean", False),
-            continuous=config.training.get("continuous", True),
-            likelihood_weighting=config.training.get("likelihood_weighting", True),
-            eps=self.sampling_eps,
+        from .modules import build_module_losses
+
+        self.train_loss_fn, self.eval_loss_fn, self.scalars_fn = (
+            build_module_losses(config, self.sde, self.model, self.sampling_eps)
         )
         self.optimizer = make_optimizer(config)
         self.train_step = make_train_step(
             self.train_loss_fn, self.optimizer,
             ema_rate=float(config.model.get("ema_rate", 0.999)),
             mesh=self.mesh,
+            with_scalars=self.scalars_fn is not None,
         )
         self.eval_step = make_eval_step(self.eval_loss_fn, mesh=self.mesh)
 
@@ -125,11 +118,17 @@ class Trainer:
                 break
             t0 = time.time()
             losses = []
+            scalars = None
+            if self.scalars_fn is not None:
+                scalars = jnp.asarray(self.scalars_fn(epoch))
             for batch in self.datamodule.train_dataloader():
                 if not self._mesh_divisible(batch):
                     continue
                 batch = shard_batch(self.mesh, self._to_device(batch))
-                self.state, loss = self.train_step(self.state, batch)
+                if scalars is not None:
+                    self.state, loss = self.train_step(self.state, batch, scalars)
+                else:
+                    self.state, loss = self.train_step(self.state, batch)
                 step += 1
                 if step % log_freq == 0:
                     losses.append(float(loss))
