@@ -22,6 +22,10 @@ def _register_heavy_models():
     registered at package import for registry completeness."""
     from . import ddpm_unet  # noqa: F401
     from . import ncsnpp  # noqa: F401
+    from . import ncsnv2  # noqa: F401
+    from . import ddpm3d  # noqa: F401
+    from . import beatgans  # noqa: F401
+    from . import csdi  # noqa: F401
 
 
 try:  # pragma: no cover - exercised via registry tests

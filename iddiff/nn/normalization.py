@@ -81,13 +81,58 @@ class InstanceNorm2dPlus(nn.Module):
         return out
 
 
+class ConditionalInstanceNorm2dPlus(nn.Module):
+    """Class-conditional InstanceNorm++: γ/α/β looked up from a class
+    embedding (normalization.py ConditionalInstanceNorm2dPlus); `y` is an
+    integer label (the sigma index in NCSNv1)."""
+
+    num_classes: int
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, y):
+        C = x.shape[-1]
+        n_feat = 3 if self.bias else 2
+        embed = nn.Embed(
+            self.num_classes, n_feat * C,
+            embedding_init=lambda k, s, d=jnp.float32: jnp.concatenate(
+                [
+                    1.0 + 0.02 * jax.random.normal(k, (s[0], 2 * C)),
+                    jnp.zeros((s[0], s[1] - 2 * C)),
+                ],
+                axis=1,
+            ),
+        )(y)
+        gamma = embed[:, :C]
+        alpha = embed[:, C: 2 * C]
+
+        means = x.mean(axis=(1, 2))
+        m = means.mean(axis=-1, keepdims=True)
+        v = means.var(axis=-1, keepdims=True)
+        means_norm = (means - m) / jnp.sqrt(v + 1e-5)
+        mean = x.mean(axis=(1, 2), keepdims=True)
+        var = x.var(axis=(1, 2), keepdims=True)
+        h = (x - mean) / jnp.sqrt(var + 1e-5)
+        out = gamma[:, None, None, :] * h + \
+            (means_norm * alpha)[:, None, None, :]
+        if self.bias:
+            beta = embed[:, 2 * C:]
+            out = out + beta[:, None, None, :]
+        return out
+
+
 def get_normalization(config, conditional: bool = False):
     """(normalization.py:22-40); returns a Module CLASS to instantiate."""
     norm = config.model.get("normalization", "GroupNorm")
     if conditional:
-        raise NotImplementedError(
-            "conditional normalization: not used by any shipped config"
-        )
+        if norm in ("InstanceNorm++", "InstanceNorm"):
+            from functools import partial
+
+            return partial(
+                ConditionalInstanceNorm2dPlus,
+                num_classes=config.model.num_scales,
+            )
+        raise NotImplementedError(f"conditional normalization '{norm}'")
     if norm == "InstanceNorm":
         return InstanceNorm2d
     if norm == "InstanceNorm++":

@@ -1,0 +1,147 @@
+"""Forward-shape + finiteness tests for NCSNv1/v2, DDPM3D, BeatGANs, CSDI."""
+import jax
+import jax.numpy as jnp
+import ml_collections
+import numpy as np
+import pytest
+
+from iddiff.models import create_model, MODELS
+from iddiff.models.ncsnv2 import get_network
+
+
+def test_registry_complete():
+    for name in ["ncsnv2_64", "ncsn", "ncsnv2_128", "ncsnv2_256", "ddpm3D",
+                 "ddpm3D_paired", "BeatGANsUNetModel", "csdi_conditional"]:
+        assert name in MODELS
+
+
+def test_get_network_dispatch():
+    c = ml_collections.ConfigDict()
+    c.data = ml_collections.ConfigDict({"image_size": 28})
+    assert get_network(c) == "ncsnv2_64"
+    c.data.image_size = 128
+    assert get_network(c) == "ncsnv2_128"
+    c.data.image_size = 256
+    assert get_network(c) == "ncsnv2_256"
+
+
+def ncsnv2_config(name="ncsnv2_64", image_size=16):
+    c = ml_collections.ConfigDict()
+    c.model = ml_collections.ConfigDict(dict(
+        name=name, nf=8, num_scales=10, nonlinearity="elu",
+        normalization="InstanceNorm++",
+    ))
+    c.data = ml_collections.ConfigDict(dict(
+        image_size=image_size, num_channels=1, centered=False,
+    ))
+    return c
+
+
+def test_ncsnv2_forward():
+    config = ncsnv2_config()
+    model = create_model(config)
+    x = jnp.ones((2, 16, 16, 1))
+    y = jnp.zeros((2,))
+    params = model.init(jax.random.PRNGKey(0), x, y)["params"]
+    out = model.apply({"params": params}, x, y)
+    assert out.shape == (2, 16, 16, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ncsn_conditional_forward():
+    config = ncsnv2_config("ncsn")
+    model = create_model(config)
+    x = jnp.ones((2, 16, 16, 1))
+    y = jnp.array([0, 5])
+    params = model.init(jax.random.PRNGKey(0), x, y)["params"]
+    o1 = model.apply({"params": params}, x, jnp.array([0, 0]))
+    o2 = model.apply({"params": params}, x, jnp.array([9, 9]))
+    assert o1.shape == (2, 16, 16, 1)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+@pytest.mark.parametrize("name", ["ncsnv2_128", "ncsnv2_256"])
+def test_ncsnv2_deep_variants(name):
+    size = 32  # tiny stand-in resolution; architecture depth is what matters
+    config = ncsnv2_config(name, image_size=size)
+    model = create_model(config)
+    x = jnp.ones((1, size, size, 1))
+    y = jnp.zeros((1,))
+    params = model.init(jax.random.PRNGKey(0), x, y)["params"]
+    out = model.apply({"params": params}, x, y)
+    assert out.shape == (1, size, size, 1)
+
+
+def test_ddpm3d_forward():
+    c = ml_collections.ConfigDict()
+    c.model = ml_collections.ConfigDict(dict(
+        name="ddpm3D", nf=8, ch_mult=[1, 2], num_res_blocks=1, dropout=0.0,
+        resamp_with_conv=True, conditional=True, nonlinearity="swish",
+    ))
+    c.data = ml_collections.ConfigDict(dict(num_channels=1, centered=False))
+    model = create_model(c)
+    x = jnp.ones((2, 8, 8, 8, 1))
+    t = jnp.full((2,), 10.0)
+    params = model.init(jax.random.PRNGKey(0), x, t)["params"]
+    out = model.apply({"params": params}, x, t)
+    assert out.shape == (2, 8, 8, 8, 1)
+
+
+def test_beatgans_forward():
+    c = ml_collections.ConfigDict()
+    c.model = ml_collections.ConfigDict(dict(
+        name="BeatGANsUNetModel", model_channels=8, channel_mult=[1, 2],
+        num_res_blocks=1, attention_resolutions=[8], dropout=0.0,
+        resblock_updown=True, num_heads=2, image_size=16,
+    ))
+    c.data = ml_collections.ConfigDict(dict(image_size=16, num_channels=1))
+    model = create_model(c)
+    x = jnp.ones((2, 16, 16, 1))
+    t = jnp.full((2,), 10.0)
+    params = model.init(jax.random.PRNGKey(0), x, t)["params"]
+    out = model.apply({"params": params}, x, t)
+    assert out.shape == (2, 16, 16, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_beatgans_label_conditioning():
+    c = ml_collections.ConfigDict()
+    c.model = ml_collections.ConfigDict(dict(
+        name="BeatGANsUNetModel", model_channels=8, channel_mult=[1, 2],
+        num_res_blocks=1, attention_resolutions=[], dropout=0.0,
+        resblock_updown=False, num_classes=10, image_size=16,
+    ))
+    c.data = ml_collections.ConfigDict(dict(image_size=16, num_channels=1))
+    model = create_model(c)
+    x = jnp.ones((2, 16, 16, 1))
+    t = jnp.full((2,), 10.0)
+    y = jnp.array([0, 1])
+    params = model.init(jax.random.PRNGKey(0), x, t, y)["params"]
+    o0 = model.apply({"params": params}, x, t, jnp.array([0, 0]))
+    o1 = model.apply({"params": params}, x, t, jnp.array([7, 7]))
+    # zero-init output convs make outputs tiny at init; require a strict
+    # (if small) difference from the label path
+    assert float(np.max(np.abs(np.asarray(o0) - np.asarray(o1)))) > 0.0
+
+
+def test_csdi_forward():
+    c = ml_collections.ConfigDict()
+    c.data = ml_collections.ConfigDict(dict(L_1=8, L_2=4, shape=[12, 3]))
+    c.model = ml_collections.ConfigDict(dict(
+        name="csdi_conditional", num_channels=16, diff_embedding_dim=32,
+        time_embedding_dim=16, feature_embedding_dim=8, nheads=2,
+        num_layers=2,
+    ))
+    model = create_model(c)
+    B, K, L1, L2 = 2, 3, 8, 4
+    batch = {
+        "x": jnp.ones((B, L2, K)),
+        "y": {"input": jnp.ones((B, L1, K)),
+              "timesteps": jnp.tile(jnp.arange(L1 + L2, dtype=jnp.float32),
+                                    (B, 1))},
+    }
+    t = jnp.full((B,), 5.0)
+    params = model.init(jax.random.PRNGKey(0), batch, t)["params"]
+    out = model.apply({"params": params}, batch, t)
+    assert out.shape == (B, L2, K)
+    assert np.all(np.isfinite(np.asarray(out)))
