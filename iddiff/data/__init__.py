@@ -9,6 +9,8 @@ from . import synthetic  # noqa: F401
 from . import gan  # noqa: F401
 from . import image  # noqa: F401
 from . import paired  # noqa: F401
+from . import haar  # noqa: F401
+from . import timeseries  # noqa: F401
 
 __all__ = [
     "register_datamodule",

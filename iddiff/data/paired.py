@@ -84,6 +84,7 @@ class ConditionalSyntheticDataModule(ArrayDataModule):
         y = x[:, 0] + d.get("condition_noise", 0.05) * rng.normal(size=len(x))
         return x, y.astype(np.float32)
 
-    def _loader(self, data, labels, batch, shuffle, seed):
+    def _loader(self, data, labels, batch, shuffle, seed, drop_last=False):
         # conditional losses expect batch = (y, x)
-        return EpochIterator((labels, data), batch, shuffle=shuffle, seed=seed)
+        return EpochIterator((labels, data), batch, shuffle=shuffle, seed=seed,
+                             drop_last=drop_last)

@@ -115,6 +115,43 @@ class DDPM(nn.Module):
         return h
 
 
+@register_model(name="ddpm_multi_speed_haar")
+class DDPMMultiSpeedHaar(DDPM):
+    """Multi-speed Haar DDPM (ddpm.py:215-273): the score net runs in image
+    space; inputs/outputs are dicts of Haar pyramid coefficients
+    {'d1': HF_1, ..., 'dK': HF_K, 'aK': DC_K} (subband-major NHWC, see
+    iddiff.nn.haar)."""
+
+    def convert_to_image_space(self, haar_x: dict):
+        from iddiff.nn.haar import haar_backward
+
+        depth = max(int(k[1:]) for k in haar_x if k.startswith("a"))
+        a = haar_x[f"a{depth}"]
+        for i in range(depth):
+            d = haar_x[f"d{depth - i}"]
+            a = haar_backward(jnp.concatenate([a, d], axis=-1))
+        return a
+
+    def convert_to_haar_space(self, x, max_depth: int):
+        from iddiff.nn.haar import haar_forward
+
+        out = {}
+        for i in range(max_depth):
+            h = haar_forward(x)
+            C = h.shape[-1] // 4
+            out[f"d{i + 1}"] = h[..., C:]
+            x = h[..., :C]
+            if i == max_depth - 1:
+                out[f"a{i + 1}"] = x
+        return out
+
+    def __call__(self, haar_x: dict, labels, *, train: bool = False):
+        x = self.convert_to_image_space(haar_x)
+        image_out = super().__call__(x, labels, train=train)
+        depth = max(int(k[1:]) for k in haar_x if k.startswith("a"))
+        return self.convert_to_haar_space(image_out, depth)
+
+
 @register_model(name="ddpm_paired_SR3")
 class DDPMPairedSR3(DDPM):
     """SR3 conditioning: concat (x, y) channels, predict score of x only

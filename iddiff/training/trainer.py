@@ -76,12 +76,23 @@ class Trainer:
         return batch
 
     def _init_inputs(self, batch):
-        """(x, t) example inputs for model.init, handling conditional dicts."""
+        """(x, t) example inputs for model.init, handling conditional dicts
+        and module flavors that transform the batch inside the loss."""
+        module = self.config.training.get("lightning_module", "base")
         if isinstance(batch, tuple):
             y, x = batch
+            y, x = jnp.asarray(y), jnp.asarray(x)
+            if module == "haar_conditional_decreasing_variance":
+                from iddiff.nn.haar import dc_coefficients
+
+                y = dc_coefficients(y)
             t = jnp.zeros((x.shape[0],))
-            return {"x": jnp.asarray(x), "y": jnp.asarray(y)}, t
+            return {"x": x, "y": y}, t
         x = jnp.asarray(batch)
+        if module == "haar_multiscale":
+            from iddiff.nn.haar import haar_forward
+
+            x = haar_forward(x)
         return x, jnp.zeros((x.shape[0],))
 
     def _init_state(self) -> TrainState:
@@ -118,14 +129,12 @@ class Trainer:
                 break
             t0 = time.time()
             losses = []
-            scalars = None
-            if self.scalars_fn is not None:
-                scalars = jnp.asarray(self.scalars_fn(epoch))
             for batch in self.datamodule.train_dataloader():
                 if not self._mesh_divisible(batch):
                     continue
                 batch = shard_batch(self.mesh, self._to_device(batch))
-                if scalars is not None:
+                if self.scalars_fn is not None:
+                    scalars = jnp.asarray(self.scalars_fn(epoch, step))
                     self.state, loss = self.train_step(self.state, batch, scalars)
                 else:
                     self.state, loss = self.train_step(self.state, batch)
@@ -184,9 +193,12 @@ class Trainer:
         from iddiff.sampling import get_sampling_fn
 
         cfg = self.config
-        shape = (num_samples or cfg.validation.batch_size,) + tuple(
-            self.datamodule.train_data.shape[1:]
-        )
+        data_shape = tuple(self.datamodule.train_data.shape[1:])
+        if cfg.training.get("lightning_module", "base") == "haar_multiscale":
+            # the model lives in Haar space (HaarMultiScale...py:62-69)
+            H, W, C = data_shape
+            data_shape = (H // 2, W // 2, 4 * C)
+        shape = (num_samples or cfg.validation.batch_size,) + data_shape
         if self._sampler is None or self._sampler[0] != shape:
             fn = get_sampling_fn(cfg, self.sde, self.model, shape,
                                  eps=self.sampling_eps)

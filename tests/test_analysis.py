@@ -1,0 +1,123 @@
+"""Classical ID estimators, PSNR/SSIM, benchmark harness, curl utils."""
+import numpy as np
+import pytest
+
+from iddiff.analysis import (
+    Benchmark,
+    batch_psnr,
+    batch_ssim,
+    local_pca_id,
+    mle_id,
+    mle_id_bootstrap,
+    pca_id,
+    psnr,
+    ssim,
+)
+from iddiff.data.ksphere import generate_ksphere
+
+
+def test_mle_on_ksphere():
+    data = generate_ksphere(
+        n_samples=2000, n_spheres=1, ambient_dim=20, manifold_dim=5,
+        noise_std=0.0, embedding_type="random_isometry", seed=0,
+    )
+    est = mle_id(data, k=10)
+    assert 4.0 < est < 6.5, est
+
+
+def test_mle_bootstrap():
+    data = generate_ksphere(
+        n_samples=1000, n_spheres=1, ambient_dim=10, manifold_dim=2,
+        noise_std=0.0, embedding_type="first", seed=1,
+    )
+    mean, std = mle_id_bootstrap(data, k=8, n_bootstrap=5)
+    assert 1.5 < mean < 3.0
+    assert std < 0.5
+
+
+def test_pca_id_linear_manifold():
+    rng = np.random.default_rng(0)
+    latent = rng.normal(size=(500, 4))
+    basis = np.linalg.qr(rng.normal(size=(30, 4)))[0]
+    data = latent @ basis.T
+    assert pca_id(data, var_threshold=0.99) == 4
+
+
+def test_local_pca_ksphere():
+    data = generate_ksphere(
+        n_samples=2000, n_spheres=1, ambient_dim=15, manifold_dim=3,
+        noise_std=0.0, embedding_type="first", seed=2,
+    )
+    est = local_pca_id(data, n_neighbors=25)
+    assert 2.0 < est < 4.6, est
+
+
+def test_benchmark_harness_resume(tmp_path):
+    csv_path = str(tmp_path / "bench.csv")
+    data = {
+        "sphere3": generate_ksphere(
+            n_samples=400, n_spheres=1, ambient_dim=10, manifold_dim=3,
+            noise_std=0.0, embedding_type="first", seed=3,
+        )
+    }
+    b = Benchmark(csv_path, estimators=["mle_5", "pca"])
+    b.run(data)
+    import csv
+
+    rows = list(csv.DictReader(open(csv_path)))
+    assert len(rows) == 2
+    # resume: second run adds nothing
+    b2 = Benchmark(csv_path, estimators=["mle_5", "pca"])
+    b2.run(data)
+    rows2 = list(csv.DictReader(open(csv_path)))
+    assert len(rows2) == 2
+
+
+def test_psnr_ssim_basics():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(32, 32, 1))
+    assert psnr(img, img) == float("inf")
+    assert abs(ssim(img, img) - 1.0) < 1e-9
+    noisy = np.clip(img + 0.05 * rng.normal(size=img.shape), 0, 1)
+    p = psnr(img, noisy, data_range=1.0)
+    assert 20 < p < 35
+    s = ssim(img, noisy, data_range=1.0)
+    assert 0.2 < s < 0.999
+    assert batch_psnr(img[None], noisy[None], 1.0) == pytest.approx(p)
+    assert batch_ssim(img[None], noisy[None], 1.0) == pytest.approx(s)
+
+
+def test_lpips_gated():
+    from iddiff.analysis import lpips_distance
+
+    with pytest.raises(ImportError, match="lpips"):
+        lpips_distance(np.zeros((1, 8, 8, 3)), np.zeros((1, 8, 8, 3)))
+
+
+def test_curl_utils():
+    import jax.numpy as jnp
+    from iddiff.analysis.vector_fields import curl_autograd, curl_fd
+
+    # rotational field v = (-y, x): curl = 2 everywhere
+    field = lambda q: jnp.stack([-q[:, 1], q[:, 0]], axis=1)
+    pts = jnp.asarray(np.random.default_rng(0).normal(size=(10, 2)),
+                      jnp.float32)
+    c = np.asarray(curl_autograd(field, pts))
+    np.testing.assert_allclose(c, 2.0, rtol=1e-5)
+
+    n = 50
+    xs, ys = np.meshgrid(np.linspace(-1, 1, n), np.linspace(-1, 1, n))
+    dx = 2.0 / (n - 1)
+    c_fd = curl_fd(-ys, xs, dx)
+    np.testing.assert_allclose(c_fd[5:-5, 5:-5], 2.0, rtol=1e-6)
+
+
+def test_isomap_id_smoke():
+    from iddiff.analysis import isomap_id
+
+    data = generate_ksphere(
+        n_samples=300, n_spheres=1, ambient_dim=8, manifold_dim=2,
+        noise_std=0.0, embedding_type="first", seed=4,
+    )
+    est = isomap_id(data, max_dim=5)
+    assert 1 <= est <= 4
