@@ -63,6 +63,62 @@ class PairedDataModule(_PairedMixin, ArrayDataModule):
         return base.generate(config)
 
 
+@register_datamodule(name="LRHR_PKL")
+class LRHRPKLDataModule(_PairedMixin, ArrayDataModule):
+    """SRFLOW-style pickled LR/HR crops (SRFLOWDataset.py:409-493): a pickle
+    (or .npz/.npy) of HR crops at config.data.hr_path [+ optional matching
+    LR at lr_path; otherwise bicubic-downsampled by data.scale]."""
+
+    def generate(self, config):
+        import pickle
+
+        path = config.data.hr_path
+        if path.endswith((".pkl", ".pickle")):
+            with open(path, "rb") as f:
+                arr = pickle.load(f)
+            arr = np.asarray(arr, dtype=np.float32)
+        else:
+            arr = np.load(path)
+            if hasattr(arr, "files"):
+                arr = arr[arr.files[0]]
+            arr = np.asarray(arr, dtype=np.float32)
+        if arr.ndim == 4 and arr.shape[1] in (1, 3) and arr.shape[-1] not in (1, 3):
+            arr = np.transpose(arr, (0, 2, 3, 1))
+        return arr
+
+
+@register_datamodule(name="bicubic_multiscale")
+class BicubicMultiscaleDataModule(_PairedMixin, ArrayDataModule):
+    """Bicubic LR/HR pairs at a chosen scale (SRDataset.py:66): identical to
+    'paired' but named for the multi-scale test pipeline."""
+
+    def generate(self, config):
+        base = get_datamodule(config.data.base_datamodule)(config)
+        out = base.generate(config)
+        return out[0] if isinstance(out, tuple) else out
+
+
+@register_datamodule(name="Conditional1DSynthetic")
+class Conditional1DSyntheticDataModule(ArrayDataModule):
+    """1-D conditional toy data (Synthetic1DConditionalDataset.py:56):
+    y ~ U(-1,1) condition, x | y ~ mixture of ±sin branches + noise."""
+
+    def generate(self, config):
+        d = config.data
+        rng = np.random.default_rng(int(config.get("seed", 42)))
+        n = d.data_samples
+        y = rng.uniform(-1, 1, size=n).astype(np.float32)
+        branch = rng.integers(0, 2, size=n) * 2 - 1
+        x = branch * np.sin(np.pi * y) + d.get("noise_std", 0.05) * rng.normal(
+            size=n
+        )
+        return x.astype(np.float32)[:, None], y
+
+    def _loader(self, data, labels, batch, shuffle, seed, drop_last=False):
+        return EpochIterator((labels, data), batch, shuffle=shuffle,
+                             seed=seed, drop_last=drop_last)
+
+
 @register_datamodule(name="ConditionalSynthetic")
 class ConditionalSyntheticDataModule(ArrayDataModule):
     """(y, x) pairs for conditional Euclidean problems

@@ -32,6 +32,11 @@ def _workdir(config, workdir=None):
 
 def train(config, workdir: str | None = None, resume: bool = True):
     """--mode train (run_lib.py:37-71)."""
+    if config.data.get("create_dataset", False):
+        # offline Haar-pyramid build before training (run_lib.py:39-40)
+        from iddiff.data.haar import create_haar_dataset
+
+        create_haar_dataset(config)
     wd = _workdir(config, workdir)
     trainer = Trainer(config, workdir=wd)
     return trainer.fit(resume=resume)
@@ -156,7 +161,8 @@ def get_conditional_manifold_dimension(config, workdir: str | None = None):
 def compute_dataset_statistics(config, workdir: str | None = None):
     """--mode compute_dataset_statistics
     (/root/reference/compute_dataset_statistics.py:24-80): dataset mean for
-    the VESDE data_mean prior shift + basic range stats."""
+    the VESDE data_mean prior shift, basic range stats, and — for image
+    data — the per-band range of Haar HF coefficients."""
     datamodule = create_datamodule(config)
     datamodule.setup()
     data = datamodule.train_data
@@ -167,11 +173,21 @@ def compute_dataset_statistics(config, workdir: str | None = None):
         "max": float(data.max()),
         "std": float(data.std()),
     }
+    if data.ndim == 4 and data.shape[1] % 2 == 0:
+        from iddiff.nn.haar import haar_forward
+
+        h = np.asarray(haar_forward(jnp.asarray(data[:1024])))
+        C = data.shape[-1]
+        hf = h[..., C:]
+        stats["haar_hf_min"] = float(hf.min())
+        stats["haar_hf_max"] = float(hf.max())
+        stats["haar_dc_min"] = float(h[..., :C].min())
+        stats["haar_dc_max"] = float(h[..., :C].max())
     wd = _workdir(config, workdir)
     os.makedirs(wd, exist_ok=True)
     np.save(os.path.join(wd, "data_mean.npy"), stats["mean"])
-    print(f"[iddiff] dataset stats: mean={stats['global_mean']:.4f} "
-          f"min={stats['min']:.4f} max={stats['max']:.4f} std={stats['std']:.4f}")
+    printable = {k: v for k, v in stats.items() if np.isscalar(v)}
+    print(f"[iddiff] dataset stats: {printable}")
     return stats
 
 
