@@ -30,10 +30,24 @@ def bicubic_downsample(batch: np.ndarray, scale: int) -> np.ndarray:
 
 
 class _PairedMixin:
-    """Override loaders to yield (y_LR, x_HR) tuples."""
+    """Override loaders to yield (y_LR, x_HR) tuples.
+
+    With data.upsample_lr=True the LR condition is bicubic-upsampled back to
+    HR resolution — the SR3 data contract (the reference's SR3 estimator
+    concatenates y with x channelwise at equal resolution, ddpm.py:280-285).
+    """
 
     def _pair_loader(self, hr, batch, shuffle, seed):
-        lr = bicubic_downsample(hr, int(self.config.data.scale))
+        scale = int(self.config.data.scale)
+        lr = bicubic_downsample(hr, scale)
+        if self.config.data.get("upsample_lr", False):
+            import jax
+            import jax.numpy as jnp
+
+            lr = np.asarray(
+                jax.image.resize(jnp.asarray(lr), hr.shape, method="bicubic"),
+                dtype=np.float32,
+            )
         return EpochIterator((lr, hr), batch, shuffle=shuffle, seed=seed)
 
     def train_dataloader(self):

@@ -69,7 +69,11 @@ def multi_scale_test(config, workdir: str | None = None, num_samples: int = 16,
     dm0 = create_datamodule(c0)
     dm0.setup()
     params0 = _restore_eval_params(c0, model0, dm0, _workdir(c0))
-    shape0 = (num_samples,) + tuple(dm0.train_data.shape[1:])
+    data_shape = tuple(dm0.train_data.shape[1:])
+    if c0.training.get("lightning_module", "base") == "haar_multiscale":
+        H, W, C = data_shape
+        data_shape = (H // 2, W // 2, 4 * C)  # model lives in Haar space
+    shape0 = (num_samples,) + data_shape
     rng, k0 = jax.random.split(rng)
     sampler = get_pc_sampler(
         sde0, model0, shape0,

@@ -47,12 +47,12 @@ def _restore_eval_params(config, model, datamodule, workdir):
     dim_reduction.py:127-141 (load_from_checkpoint + eval mode).  Oracle
     models (ksphere_gt*) run without a checkpoint, like the reference's
     constant-loss ksphere_gt module."""
+    from iddiff.training.trainer import example_init_inputs
+
     rng = jax.random.PRNGKey(int(config.get("seed", 42)))
-    batch = datamodule.train_data[:2]
-    x = jnp.asarray(batch)
-    params = model.init({"params": rng, "dropout": rng}, x, jnp.zeros((x.shape[0],)))[
-        "params"
-    ]
+    loader_batch = next(iter(datamodule.train_dataloader()))
+    x, t = example_init_inputs(config, loader_batch)
+    params = model.init({"params": rng, "dropout": rng}, x, t)["params"]
     ckpt_path = config.model.get("checkpoint_path", None) or workdir
     if config.model.name.startswith("ksphere_gt"):
         return params
@@ -193,7 +193,8 @@ def compute_dataset_statistics(config, workdir: str | None = None):
 
 def test(config, workdir: str | None = None):
     """--mode test (run_lib.py:73-100): eval loss on the test split +
-    (for paired/SR data) PSNR/SSIM sample metrics."""
+    (for paired/SR data) PSNR/SSIM of conditional samples vs ground truth
+    (the test_paired callback path, PairedCallback.py:88-232)."""
     wd = _workdir(config, workdir)
     trainer = Trainer(config, workdir=wd)
     try:
@@ -202,12 +203,33 @@ def test(config, workdir: str | None = None):
         pass
     rng = jax.random.PRNGKey(0)
     losses = []
+    paired_batch = None
     for i, batch in enumerate(trainer.datamodule.test_dataloader()):
+        if not trainer._mesh_divisible(batch):
+            continue
         rng, sub = jax.random.split(rng)
         batch = trainer._to_device(batch)
+        if isinstance(batch, tuple) and paired_batch is None:
+            paired_batch = batch
         losses.append(float(trainer.eval_step(trainer.state, batch, sub)))
         if i >= 64:
             break
     result = {"test_loss": float(np.mean(losses))}
+
+    if paired_batch is not None and trainer.conditional:
+        from iddiff.analysis.evaluation import batch_psnr, batch_ssim
+        from iddiff.sampling import get_conditional_sampling_fn
+
+        y, x = paired_batch
+        y, x = y[:8], x[:8]
+        fn = get_conditional_sampling_fn(
+            config, trainer.sde, trainer.model, x.shape, trainer.sampling_eps
+        )
+        samples = np.asarray(
+            fn(jax.random.PRNGKey(1), trainer.state.ema_params, y)
+        )
+        if samples.ndim >= 3:  # image-like: report SR metrics
+            result["test_psnr"] = batch_psnr(samples, np.asarray(x))
+            result["test_ssim"] = batch_ssim(samples, np.asarray(x))
     print(f"[iddiff] test: {result}")
     return result

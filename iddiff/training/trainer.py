@@ -26,6 +26,27 @@ from .state import TrainState
 from .train_step import make_eval_step, make_train_step
 
 
+def example_init_inputs(config, batch):
+    """(x, t) example inputs for model.init, handling conditional tuples and
+    module flavors that transform the batch inside the loss."""
+    module = config.training.get("lightning_module", "base")
+    if isinstance(batch, tuple):
+        y, x = batch
+        y, x = jnp.asarray(y), jnp.asarray(x)
+        if module == "haar_conditional_decreasing_variance":
+            from iddiff.nn.haar import dc_coefficients
+
+            y = dc_coefficients(y)
+        t = jnp.zeros((x.shape[0],))
+        return {"x": x, "y": y}, t
+    x = jnp.asarray(batch)
+    if module == "haar_multiscale":
+        from iddiff.nn.haar import haar_forward
+
+        x = haar_forward(x)
+    return x, jnp.zeros((x.shape[0],))
+
+
 class Trainer:
     def __init__(self, config, workdir: str, datamodule=None, mesh=None):
         self.config = config
@@ -76,24 +97,7 @@ class Trainer:
         return batch
 
     def _init_inputs(self, batch):
-        """(x, t) example inputs for model.init, handling conditional dicts
-        and module flavors that transform the batch inside the loss."""
-        module = self.config.training.get("lightning_module", "base")
-        if isinstance(batch, tuple):
-            y, x = batch
-            y, x = jnp.asarray(y), jnp.asarray(x)
-            if module == "haar_conditional_decreasing_variance":
-                from iddiff.nn.haar import dc_coefficients
-
-                y = dc_coefficients(y)
-            t = jnp.zeros((x.shape[0],))
-            return {"x": x, "y": y}, t
-        x = jnp.asarray(batch)
-        if module == "haar_multiscale":
-            from iddiff.nn.haar import haar_forward
-
-            x = haar_forward(x)
-        return x, jnp.zeros((x.shape[0],))
+        return example_init_inputs(self.config, batch)
 
     def _init_state(self) -> TrainState:
         rng = jax.random.PRNGKey(int(self.config.get("seed", 42)))
