@@ -105,6 +105,24 @@ class ArrayDataModule:
 
     def train_dataloader(self):
         # static shapes for jit + mesh-divisible batches: drop ragged tails
+        use_native = self.config.training.get("native_loader", "auto")
+        plain_array = self.train_labels is None or not self.return_labels
+        if use_native in (True, "auto") and plain_array:
+            cached = getattr(self, "_native_train_iter", None)
+            if cached is not None:
+                return cached
+            try:
+                from iddiff.native import NativeEpochIterator, native_available
+
+                if native_available():
+                    self._native_train_iter = NativeEpochIterator(
+                        self.train_data, self.train_batch, shuffle=True,
+                        seed=self.seed + 1, drop_last=True,
+                    )
+                    return self._native_train_iter
+            except Exception:
+                if use_native is True:
+                    raise
         return self._loader(self.train_data, self.train_labels, self.train_batch,
                             True, self.seed + 1, drop_last=True)
 
