@@ -20,6 +20,7 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -115,6 +116,85 @@ def main():
         f"P={P}, K={K}, d={d}, device={jax.devices()[0].platform}",
         file=sys.stderr,
     )
+
+    if os.environ.get("IDDIFF_BENCH_FULL") == "1":
+        _bench_mnist_id()
+        _bench_train_step()
+
+
+def _bench_mnist_id():
+    """Secondary: MNIST-scale (d=1024) DDPM U-Net ID estimation, fp32 vs bf16."""
+    import jax
+    import jax.numpy as jnp
+
+    from iddiff.configs.dimension_estimation.mnist import get_config
+    from iddiff.id import make_spectra_fn
+    from iddiff.models import create_model
+    from iddiff.sde import get_sde
+
+    for dtype in [None, "bfloat16"]:
+        config = get_config()
+        config.training.batch_size = 128
+        if dtype:
+            config.model.compute_dtype = dtype
+        model = create_model(config)
+        sde, eps = get_sde(config)
+        x = jnp.ones((2, 32, 32, 1), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((2,)))["params"]
+        P = 2
+        data = jax.random.uniform(jax.random.PRNGKey(1), (P, 32, 32, 1))
+        fn, K = make_spectra_fn(
+            sde, model, data_shape=(32, 32, 1), batch_size=128, t=eps
+        )
+        fn(jax.random.PRNGKey(2), params, data).block_until_ready()
+        t0 = time.perf_counter()
+        fn(jax.random.PRNGKey(3), params, data).block_until_ready()
+        dt = time.perf_counter() - t0
+        print(
+            f"# mnist-id ({dtype or 'float32'}): {P * K / dt:.1f} evals/s "
+            f"({dt:.3f}s for P={P}, K={K}, d=1024)",
+            file=sys.stderr,
+        )
+
+
+def _bench_train_step():
+    """Secondary: MNIST DDPM training step throughput, fp32 vs bf16."""
+    import jax
+    import jax.numpy as jnp
+
+    from iddiff.configs.dimension_estimation.mnist import get_config
+    from iddiff.losses import get_sde_loss_fn
+    from iddiff.models import create_model
+    from iddiff.sde import get_sde
+    from iddiff.training import TrainState, make_optimizer, make_train_step
+
+    for dtype in [None, "bfloat16"]:
+        config = get_config()
+        if dtype:
+            config.model.compute_dtype = dtype
+        model = create_model(config)
+        sde, eps = get_sde(config)
+        B = config.training.batch_size
+        x = jax.random.uniform(jax.random.PRNGKey(0), (B, 32, 32, 1))
+        params = model.init(jax.random.PRNGKey(1), x, jnp.zeros((B,)))["params"]
+        loss_fn = get_sde_loss_fn(sde, model, train=True, eps=eps)
+        optimizer = make_optimizer(config)
+        state = TrainState.create(params, optimizer.init(params),
+                                  jax.random.PRNGKey(2))
+        step = make_train_step(loss_fn, optimizer, ema_rate=0.9999)
+        state, loss = step(state, x)
+        loss.block_until_ready()
+        n = 10
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, loss = step(state, x)
+        loss.block_until_ready()
+        dt = time.perf_counter() - t0
+        print(
+            f"# mnist-train ({dtype or 'float32'}): {n / dt:.2f} steps/s "
+            f"(B={B}, {B * n / dt:.0f} img/s)",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

@@ -107,7 +107,11 @@ class ArrayDataModule:
         # static shapes for jit + mesh-divisible batches: drop ragged tails
         use_native = self.config.training.get("native_loader", "auto")
         plain_array = self.train_labels is None or not self.return_labels
-        if use_native in (True, "auto") and plain_array:
+        # subclasses that override _loader (paired/conditional/time-series)
+        # must keep their python path
+        plain_loader = type(self)._loader is ArrayDataModule._loader and \
+            type(self).train_dataloader is ArrayDataModule.train_dataloader
+        if use_native in (True, "auto") and plain_array and plain_loader:
             cached = getattr(self, "_native_train_iter", None)
             if cached is not None:
                 return cached

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 
 from iddiff.sde import VESDE, VPSDE, SubVPSDE, SNRSDE, CVESDE
@@ -26,13 +27,39 @@ from .ksphere_gt import KSphereGT, KSphereExactGT
 
 
 def get_model_fn(model, params, train: bool = False, rngs=None) -> Callable:
-    """Pure callable (x, labels) -> network output, closing over params."""
+    """Pure callable (x, labels) -> network output, closing over params.
+
+    Mixed precision: when config.model.compute_dtype == 'bfloat16', params
+    and inputs are cast to bf16 for the forward (halving HBM traffic and
+    feeding the MXU native bf16) while the fp32 params stay the optimizer's
+    master copy — gradients flow through the casts back to fp32.
+    """
+    compute_dtype = None
+    cfg = getattr(model, "config", None)
+    if cfg is not None:
+        name = cfg.model.get("compute_dtype", None)
+        if name in ("bfloat16", "bf16"):
+            compute_dtype = jnp.bfloat16
 
     def model_fn(x, labels):
         kwargs = {}
         if rngs is not None:
             kwargs["rngs"] = rngs
-        return model.apply({"params": params}, x, labels, train=train, **kwargs)
+        p = params
+        xx = x
+        if compute_dtype is not None:
+            cast = lambda a: (
+                a.astype(compute_dtype)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a
+            )
+            p = jax.tree_util.tree_map(cast, params)
+            xx = jax.tree_util.tree_map(cast, x)
+        out = model.apply({"params": p}, xx, labels, train=train, **kwargs)
+        if compute_dtype is not None:
+            out = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32), out
+            )
+        return out
 
     return model_fn
 

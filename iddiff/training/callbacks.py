@@ -43,26 +43,29 @@ class Callback:
 class ScoreSpectrumVisualization(Callback):
     """In-training intrinsic-dimension tracking (callbacks.py:403-432)."""
 
+    _cached = None  # (spectra_fn, data_shape) — one compile for the whole run
+
     def on_validation_end(self, trainer, epoch, metrics):
         cfg = trainer.config
         freq = cfg.logging.get("svd_frequency", 0)
         if not freq or epoch % freq != 0:
             return
-        from iddiff.id import collect_spectra, dims_from_spectra, save_spectra
-        from iddiff.models import get_score_fn
+        from iddiff.id import dims_from_spectra, make_spectra_fn, save_spectra
 
         n_points = cfg.logging.get("svd_points", 5)
         data = jnp.asarray(trainer.datamodule.train_data[:n_points])
-        score_fn = get_score_fn(
-            trainer.sde, trainer.model, trainer.state.ema_params, train=False
-        )
         mesh = trainer.mesh
         if data.shape[0] % mesh.shape["data"] != 0:
             mesh = None  # too few points to shard evenly — run replicated
-        spectra, _ = collect_spectra(
-            jax.random.PRNGKey(epoch), trainer.sde, score_fn, data,
-            batch_size=cfg.training.batch_size, t=trainer.sampling_eps,
-            mesh=mesh,
+        if self._cached is None or self._cached[1] != data.shape:
+            fn, _ = make_spectra_fn(
+                trainer.sde, trainer.model, data_shape=data.shape[1:],
+                batch_size=cfg.training.batch_size, t=trainer.sampling_eps,
+                mesh=mesh,
+            )
+            self._cached = (fn, data.shape)
+        spectra = self._cached[0](
+            jax.random.PRNGKey(epoch), trainer.state.ema_params, data
         )
         dims = dims_from_spectra(np.asarray(spectra))
         metrics["dim"] = float(np.median(dims))
