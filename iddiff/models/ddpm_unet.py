@@ -76,9 +76,22 @@ class DDPM(nn.Module):
 
         h = x if config.data.get("centered", False) else 2 * x - 1.0
 
-        block = lambda out_ch: ResnetBlockDDPM(
-            act=act, out_ch=out_ch, dropout=dropout
-        )
+        if config.model.get("remat", False):
+            # rematerialize resblocks in the backward pass: trades FLOPs for
+            # HBM so deep U-Nets fit larger batches (jax.checkpoint).
+            # `train` is passed positionally (static arg 3 incl. module self).
+            # NOTE: remat changes flax scope names — set it before training;
+            # checkpoints are not interchangeable across the flag.
+            block_cls = nn.remat(ResnetBlockDDPM, static_argnums=(3,))
+            block = lambda out_ch: (
+                lambda h, temb, train=False: block_cls(
+                    act=act, out_ch=out_ch, dropout=dropout
+                )(h, temb, train)
+            )
+        else:
+            block = lambda out_ch: ResnetBlockDDPM(
+                act=act, out_ch=out_ch, dropout=dropout
+            )
 
         # down path
         hs = [conv3x3(nf)(h)]

@@ -87,10 +87,14 @@ def get_manifold_dimension(config, workdir: str | None = None, name: str = None,
 
     de = config.get("dim_estimation", None)
     num_datapoints = None
+    est_batch = None
     if de is not None:
         num_datapoints = de.get("num_datapoints", None)
+        est_batch = de.get("batch_size", None)
     if num_datapoints is None:
         num_datapoints = config.logging.get("svd_points", 26)
+    if est_batch is None:
+        est_batch = config.training.batch_size
 
     data = jnp.asarray(datamodule.train_data[:num_datapoints])
     mesh = make_mesh()
@@ -99,7 +103,7 @@ def get_manifold_dimension(config, workdir: str | None = None, name: str = None,
     spectra, K = collect_spectra(
         jax.random.PRNGKey(int(config.get("seed", 42))),
         sde, score_fn, data,
-        batch_size=config.training.batch_size,
+        batch_size=est_batch,
         t=sampling_eps,
         mesh=use_mesh,
     )

@@ -151,17 +151,22 @@ class Trainer:
                     break
             epoch_time = time.time() - t0
 
-            # --- validation with EMA weights ---
-            eval_metrics = self.validate(epoch)
-            eval_metrics["epoch_time"] = epoch_time
-            if losses:
-                eval_metrics["train_loss_epoch"] = float(np.mean(losses))
-            for cb in self.callbacks:
-                cb.on_validation_end(self, epoch, eval_metrics)
-            self.metrics.scalars(step, **{
-                k: v for k, v in eval_metrics.items() if np.isscalar(v)
-            })
-            self.keeper.save_eval(step, self.state, eval_metrics["eval_loss"])
+            # --- validation with EMA weights (+ top-k checkpointing) ---
+            # eval_freq_epochs amortizes the orbax save + val pass for small
+            # fast epochs (the reference's eval_freq in steps, run_lib.py:64)
+            eval_every = int(cfg.logging.get("eval_freq_epochs", 1) or 1)
+            if epoch % eval_every == 0 or done or epoch == num_epochs - 1:
+                eval_metrics = self.validate(epoch)
+                eval_metrics["epoch_time"] = epoch_time
+                if losses:
+                    eval_metrics["train_loss_epoch"] = float(np.mean(losses))
+                for cb in self.callbacks:
+                    cb.on_validation_end(self, epoch, eval_metrics)
+                self.metrics.scalars(step, **{
+                    k: v for k, v in eval_metrics.items() if np.isscalar(v)
+                })
+                self.keeper.save_eval(step, self.state,
+                                      eval_metrics["eval_loss"])
             self.keeper.maybe_save_periodic(step, self.state, epoch)
             for cb in self.callbacks:
                 cb.on_epoch_end(self, epoch)

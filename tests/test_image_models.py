@@ -166,3 +166,23 @@ def test_ddpm_trains_one_step():
     assert np.isfinite(float(loss))
     gnorm = optax.global_norm(grads)
     assert float(gnorm) > 0
+
+
+def test_ddpm_remat_flag():
+    """remat resblocks: forward+backward run; memory knob, set pre-training."""
+    import optax
+    from iddiff.losses import get_sde_loss_fn
+    from iddiff.sde import VESDE
+
+    config = image_config("ddpm")
+    config.model.remat = True
+    model = create_model(config)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 1))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((4,)))["params"]
+    out = model.apply({"params": params}, x, jnp.full((4,), 10.0))
+    assert out.shape == (4, 16, 16, 1)
+    loss_fn = get_sde_loss_fn(VESDE(sigma_min=0.01, sigma_max=5.0, N=20),
+                              model, train=True, eps=1e-5)
+    loss, grads = jax.value_and_grad(loss_fn)(params, x, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    assert float(optax.global_norm(grads)) > 0
