@@ -30,7 +30,9 @@ def example_init_inputs(config, batch):
     """(x, t) example inputs for model.init, handling conditional tuples and
     module flavors that transform the batch inside the loss."""
     module = config.training.get("lightning_module", "base")
-    if isinstance(batch, tuple):
+    conditional = module.startswith("conditional") or \
+        module.startswith("haar_conditional")
+    if isinstance(batch, tuple) and conditional:
         y, x = batch
         y, x = jnp.asarray(y), jnp.asarray(x)
         if module == "haar_conditional_decreasing_variance":
@@ -39,6 +41,9 @@ def example_init_inputs(config, batch):
             y = dc_coefficients(y)
         t = jnp.zeros((x.shape[0],))
         return {"x": x, "y": y}, t
+    if isinstance(batch, tuple):
+        # unconditional module with return_labels: (data, labels)
+        batch = batch[0]
     x = jnp.asarray(batch)
     if module == "haar_multiscale":
         from iddiff.nn.haar import haar_forward

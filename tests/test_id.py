@@ -142,3 +142,50 @@ def test_spectra_pickle_roundtrip(tmp_path):
         raw = pickle.load(f)
     assert set(raw.keys()) == {"singular_values"}
     assert isinstance(raw["singular_values"][0], list)
+
+
+def test_conditional_manifold_dimension_artifacts(tmp_path):
+    """12 t-slices of per-class spectra in the reference's pickle layout
+    (dim_reduction.py:12-114)."""
+    import os
+    import pickle
+
+    import ml_collections
+
+    from iddiff import run_lib
+
+    c = ml_collections.ConfigDict()
+    c.seed = 0
+    c.logging = ml_collections.ConfigDict(
+        {"log_path": str(tmp_path), "log_name": "cond",
+         "top_k": 1, "every_n_epochs": None, "envery_timedelta": None}
+    )
+    c.training = ml_collections.ConfigDict(dict(
+        batch_size=32, sde="vesde", continuous=True, workers=0,
+        lightning_module="ksphere_gt",
+    ))
+    c.validation = ml_collections.ConfigDict({"batch_size": 32, "workers": 0})
+    c.eval = ml_collections.ConfigDict({"batch_size": 32, "workers": 0})
+    c.data = ml_collections.ConfigDict(dict(
+        datamodule="Synthetic", dataset_type="GaussianBubbles",
+        data_samples=400, mixtures=2, std=0.1, split=[0.5, 0.4, 0.1],
+        return_labels=True, use_data_mean=False, manifold_dim=1,
+        ambient_dim=2, embedding_type="first",
+    ))
+    c.model = ml_collections.ConfigDict(dict(
+        name="ksphere_gt_exact", checkpoint_path=None, sigma_max=2.0,
+        sigma_min=1e-2, num_scales=100, ema_rate=0.999,
+    ))
+    c.dim_estimation = ml_collections.ConfigDict({"num_datapoints": 3})
+
+    run_lib.get_conditional_manifold_dimension(c)
+    svd_root = tmp_path / "cond" / "svd"
+    slices = sorted(os.listdir(svd_root))
+    assert len(slices) == 12
+    for s in slices[:2]:
+        with open(svd_root / s / "labels_svd.pkl", "rb") as f:
+            info = pickle.load(f)
+        assert len(info["singular_values"]) == 3
+        assert len(info["singular_values"][0]) == 2  # d = 2
+        with open(svd_root / s / "labels.pkl", "rb") as f:
+            assert pickle.load(f)["labels"] == [1, 1, 1]
