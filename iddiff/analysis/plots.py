@@ -16,6 +16,20 @@ import matplotlib.pyplot as plt  # noqa: E402
 from iddiff.id.readout import dims_from_spectra  # noqa: E402
 
 
+def extract_sing_vals(svd, mode: str = "first"):
+    """Aggregation modes over saved spectra (plot_utils.py:197-205):
+    'first' = first datapoint only, 'all', 'mean' = pointwise average."""
+    vals = svd["singular_values"] if isinstance(svd, dict) else svd
+    vals = np.asarray(vals)
+    if mode == "first":
+        return vals[:1]
+    if mode == "all":
+        return vals
+    if mode == "mean":
+        return vals.mean(axis=0, keepdims=True)
+    raise ValueError(f"aggregation mode '{mode}' unknown")
+
+
 def spectrum_figure(spectra, ground_truth=None, title="Score Spectrum"):
     """Spectra line plot with ground-truth vline (plot_utils.py:111-139)."""
     spectra = np.asarray(spectra)

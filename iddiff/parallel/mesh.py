@@ -21,6 +21,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed(config=None):
+    """Multi-host initialization (the jax equivalent of Lightning's
+    num_nodes/DDP launch, run_lib.py:57-60): call once per host before mesh
+    construction.  No-ops single-process; coordinator settings come from
+    standard JAX env vars or config.training.coordinator_address."""
+    import os
+
+    addr = None
+    if config is not None:
+        addr = config.training.get("coordinator_address", None)
+    addr = addr or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+        process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+    )
+    return True
+
+
 def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
     """Build a ('data', 'model') mesh over the available devices."""
     devices = list(devices if devices is not None else jax.devices())

@@ -131,11 +131,21 @@ class Trainer:
         n_iters = int(min(cfg.training.get("n_iters", 1e9), 1e15))
         log_freq = int(cfg.training.get("log_freq", 50))
 
+        # optional jax.profiler trace of the first profiled epoch
+        # (SURVEY.md §5: the reference has no tracing; tqdm only)
+        profile_dir = cfg.training.get("profile_dir", None)
+        profiling = False
+
         step = int(self.state.step)
         done = False
         for epoch in range(num_epochs):
             if done:
                 break
+            if profile_dir and not profiling and epoch == int(
+                cfg.training.get("profile_epoch", 1)
+            ):
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
             t0 = time.time()
             losses = []
             for batch in self.datamodule.train_dataloader():
@@ -155,6 +165,11 @@ class Trainer:
                     done = True
                     break
             epoch_time = time.time() - t0
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
+                profile_dir = None
+                print(f"[iddiff] wrote profiler trace for epoch {epoch}")
 
             # --- validation with EMA weights (+ top-k checkpointing) ---
             # eval_freq_epochs amortizes the orbax save + val pass for small

@@ -106,3 +106,41 @@ def test_shard_batch_and_replicate():
     assert xs.sharding.spec == jax.sharding.PartitionSpec("data")
     tree = replicate(mesh, {"a": jnp.ones((3,))})
     assert tree["a"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_per_host_shard_iterator():
+    """EpochIterator shard hooks: disjoint per-host coverage (replaces
+    Lightning's DistributedSampler, SURVEY §2.13)."""
+    from iddiff.data.datamodule import EpochIterator
+
+    data = np.arange(32.0).reshape(32, 1)
+    parts = []
+    for host in range(4):
+        it = EpochIterator((data,), batch_size=4, shuffle=True, seed=9,
+                           shard_index=host, num_shards=4)
+        parts.append(np.concatenate(list(it)))
+    allv = np.concatenate(parts)
+    assert len(allv) == 32
+    assert len(np.unique(allv)) == 32  # disjoint cover
+
+
+def test_profiler_trace_hook(tmp_path):
+    """config.training.profile_dir writes a jax profiler trace."""
+    import os
+
+    from iddiff.training import Trainer
+    from tests.test_training import tiny_bubbles_config
+
+    config = tiny_bubbles_config()
+    config.training.num_epochs = 3
+    config.training.profile_dir = str(tmp_path / "prof")
+    config.training.profile_epoch = 1
+    config.training.visualization_callback = None
+    trainer = Trainer(config, workdir=str(tmp_path / "run"))
+    trainer.fit()
+    assert os.path.isdir(tmp_path / "prof")
+    found = any(
+        f.endswith((".pb", ".json.gz", ".trace.json.gz"))
+        for _, _, files in os.walk(tmp_path / "prof") for f in files
+    )
+    assert found
