@@ -325,6 +325,58 @@ class HaarMultiscaleVisualization(Callback):
             pass
 
 
+@register_callback(name="Conditional2DVisualization")
+class Conditional2DVisualization(Callback):
+    """Scatter of conditional samples x|y at a few condition values
+    (callbacks.py:340-371)."""
+
+    def on_validation_end(self, trainer, epoch, metrics):
+        freq = trainer.config.logging.get("viz_frequency", 10)
+        if epoch % max(freq, 1) != 0 or not trainer.conditional:
+            return
+        from iddiff.sampling import get_conditional_sampling_fn
+
+        loader = trainer.datamodule.val_dataloader()
+        batch = next(iter(loader))
+        if not isinstance(batch, tuple):
+            return
+        y, x = batch
+        y = jnp.asarray(y[:64])
+        shape = (64,) + tuple(np.asarray(x).shape[1:])
+        fn = get_conditional_sampling_fn(
+            trainer.config, trainer.sde, trainer.model, shape,
+            trainer.sampling_eps,
+        )
+        samples = np.asarray(
+            fn(jax.random.PRNGKey(500 + epoch), trainer.state.ema_params, y)
+        )
+        if samples.ndim != 2 or samples.shape[1] != 2:
+            return
+        try:
+            from iddiff.analysis.plots import scatter_figure
+
+            fig = scatter_figure(samples, np.asarray(x[:64]),
+                                 title="conditional samples")
+            trainer.metrics.figure(int(trainer.state.step), "cond_samples", fig)
+        except Exception:
+            pass
+
+
+@register_callback(name="Conditional1DVisualization")
+class Conditional1DVisualization(Conditional2DVisualization):
+    """1-D conditional x|y plot (callbacks.py Conditional1DVisualization):
+    same machinery; the scatter degenerates to (y, x) pairs."""
+
+
+# SR / haar callback-name aliases from the reference registry
+# (HaarMultiScaleCallback.py:64,95,124,150 — all supergrid/PSNR variants)
+CALLBACKS.register(PairedVisualization, name="test_paired")
+CALLBACKS.register(PairedVisualization, name="paired3D")
+CALLBACKS.register(PairedVisualization, name="bicubic_SR")
+CALLBACKS.register(PairedVisualization, name="KxSR")
+CALLBACKS.register(HaarMultiscaleVisualization, name="conditional_haar_multiscale")
+
+
 def get_callbacks(config):
     """Compose callbacks from config.training.visualization_callback
     (mirrors lightning_callbacks/utils.py:24-51; EMA/config are built-in)."""
