@@ -83,7 +83,6 @@ def get_manifold_dimension(config, workdir: str | None = None, name: str = None,
     model = create_model(config)
     sde, sampling_eps = get_sde(config)
     params = _restore_eval_params(config, model, datamodule, wd)
-    score_fn = get_score_fn(sde, model, params, train=False, continuous=True)
 
     de = config.get("dim_estimation", None)
     num_datapoints = None
@@ -98,16 +97,38 @@ def get_manifold_dimension(config, workdir: str | None = None, name: str = None,
 
     data = jnp.asarray(datamodule.train_data[:num_datapoints])
     mesh = make_mesh()
-    # shard only when the datapoint count divides the mesh
-    use_mesh = mesh if data.shape[0] % mesh.shape["data"] == 0 else None
-    spectra, K = collect_spectra(
-        jax.random.PRNGKey(int(config.get("seed", 42))),
-        sde, score_fn, data,
-        batch_size=est_batch,
-        t=sampling_eps,
-        mesh=use_mesh,
+    # chunk the datapoint axis: vmapping all P points at once multiplies
+    # activation memory by P (prohibitive for image-scale nets); one
+    # compiled spectra_fn is reused across chunks.
+    n_mesh = mesh.shape["data"]
+    chunk = de.get("points_per_chunk", None) if de is not None else None
+    if chunk is None:
+        chunk = max(n_mesh, min(num_datapoints, 8))
+    chunk = min(chunk, data.shape[0])
+    use_mesh = mesh if chunk % n_mesh == 0 else None
+
+    from iddiff.id import make_spectra_fn
+
+    spectra_fn, K = make_spectra_fn(
+        sde, model, data_shape=data.shape[1:], batch_size=est_batch,
+        t=sampling_eps, mesh=use_mesh,
     )
-    spectra = np.asarray(spectra)
+    # NOTE: make_spectra_fn builds its own score_fn from (model, params);
+    # the oracle/checkpoint params restored above are passed per call.
+    rng = jax.random.PRNGKey(int(config.get("seed", 42)))
+    parts = []
+    for start in range(0, data.shape[0], chunk):
+        piece = data[start: start + chunk]
+        if piece.shape[0] < chunk:  # pad tail chunk to the compiled shape
+            pad = chunk - piece.shape[0]
+            piece = jnp.concatenate([piece, piece[:pad]], axis=0)
+            rng, sub = jax.random.split(rng)
+            out = spectra_fn(sub, params, piece)[: chunk - pad]
+        else:
+            rng, sub = jax.random.split(rng)
+            out = spectra_fn(sub, params, piece)
+        parts.append(np.asarray(out))
+    spectra = np.concatenate(parts, axis=0)
     info = {"singular_values": [list(map(float, s)) for s in spectra]}
     dims = dims_from_spectra(spectra)
     print(f"[iddiff] estimated dims (n={len(dims)}): median={np.median(dims)}, "
