@@ -59,6 +59,10 @@ class Trainer:
         self.datamodule = datamodule or create_datamodule(config)
         self.datamodule.setup()
 
+        if config.training.get("debug_nans", False):
+            # NaN-check hook (SURVEY §5 sanitizers): fail fast inside jit
+            jax.config.update("jax_debug_nans", True)
+
         module_name = config.training.get("lightning_module", "base")
         self.conditional = module_name.startswith("conditional") or \
             module_name.startswith("haar_conditional")

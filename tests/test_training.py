@@ -180,3 +180,32 @@ def test_trainer_ksphere_with_spectrum_callback(tmp_path):
     keys = set(k for r in recs for k in r)
     assert "dim" in keys  # ScoreSpectrumVisualization ran
     assert "sample_norm_mean" in keys  # KSphereEvaluation ran
+
+
+def test_ema_class_parity():
+    """ExponentialMovingAverage store/copy_to/restore/update surface."""
+    import jax
+    from iddiff.training.ema import ExponentialMovingAverage, ema_update
+
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    ema = ExponentialMovingAverage(params, decay=0.9)
+    new_params = {"w": jnp.full((4,), 2.0), "b": jnp.ones((2,))}
+    ema.update(new_params)
+    # num_updates warmup: decay = min(0.9, 2/11)
+    d = 2 / 11
+    np.testing.assert_allclose(
+        np.asarray(ema.shadow_params["w"]), d * 1.0 + (1 - d) * 2.0, rtol=1e-6
+    )
+    ema.store(new_params)
+    shadow = ema.copy_to()
+    restored = ema.restore()
+    assert restored is new_params
+    state = ema.state_dict()
+    ema2 = ExponentialMovingAverage(params, decay=0.5)
+    ema2.load_state_dict(state)
+    np.testing.assert_allclose(
+        np.asarray(ema2.shadow_params["w"]), np.asarray(shadow["w"])
+    )
+    # pure helper
+    out = ema_update(params, new_params, 0.5)
+    np.testing.assert_allclose(np.asarray(out["w"]), 1.5)
