@@ -1,0 +1,6 @@
+"""Reference-path alias: .../image_data/gaussian_blobs/20.py"""
+from iddiff.configs.dimension_estimation.squares import squares_config
+
+
+def get_config():
+    return squares_config(20, kind="blobs")
