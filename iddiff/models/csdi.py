@@ -120,8 +120,17 @@ class CSDI(nn.Module):
         channels = m.num_channels
 
         labels = batch["x"]  # (B, L_2, K)
-        inpt = batch["y"]["input"]  # (B, L_1, K)
-        timesteps = batch["y"]["timesteps"]  # (B, L)
+        y = batch["y"]
+        if isinstance(y, dict):
+            inpt = y["input"]  # (B, L_1, K)
+            timesteps = y["timesteps"]  # (B, L)
+        else:
+            # array condition (the framework's (cond, target) loaders):
+            # timesteps default to the window's integer grid
+            inpt = y
+            timesteps = jnp.broadcast_to(
+                jnp.arange(L, dtype=jnp.float32)[None], (y.shape[0], L)
+            )
         B = inpt.shape[0]
 
         observed = jnp.concatenate([inpt, labels], axis=1)  # (B, L, K)

@@ -145,3 +145,42 @@ def test_csdi_forward():
     out = model.apply({"params": params}, batch, t)
     assert out.shape == (B, L2, K)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_csdi_trains_with_conditional_module(tmp_path):
+    """CSDI + SyntheticTimeSeries through the SR3-style conditional trainer."""
+    from iddiff.training import Trainer
+
+    c = ml_collections.ConfigDict()
+    c.seed = 0
+    c.logging = ml_collections.ConfigDict(
+        {"top_k": 1, "every_n_epochs": None, "envery_timedelta": None,
+         "log_path": str(tmp_path), "log_name": "csdi"}
+    )
+    c.training = ml_collections.ConfigDict(dict(
+        lightning_module="conditional", conditioning_approach="sr3",
+        batch_size=8, num_epochs=1, n_iters=3, log_freq=1,
+        likelihood_weighting=True, continuous=True, reduce_mean=False,
+        sde="vesde", visualization_callback=None, workers=0,
+        accumulate_grad_batches=1,
+    ))
+    c.validation = ml_collections.ConfigDict({"batch_size": 8, "workers": 0})
+    c.eval = ml_collections.ConfigDict({"batch_size": 8, "workers": 0})
+    c.data = ml_collections.ConfigDict(dict(
+        datamodule="SyntheticTimeSeries", data_samples=48, L_1=8, L_2=4,
+        n_features=2, shape=[12, 2], split=[0.7, 0.15, 0.15],
+        return_labels=False, use_data_mean=False,
+    ))
+    c.model = ml_collections.ConfigDict(dict(
+        name="csdi_conditional", checkpoint_path=None,
+        sigma_min_x=1e-2, sigma_max_x=2.0, num_scales=10, ema_rate=0.999,
+        num_channels=16, diff_embedding_dim=32, time_embedding_dim=16,
+        feature_embedding_dim=8, nheads=2, num_layers=1,
+    ))
+    c.optim = ml_collections.ConfigDict(dict(
+        weight_decay=0.0, optimizer="Adam", lr=1e-3, beta1=0.9, eps=1e-8,
+        warmup=2, grad_clip=1.0,
+    ))
+    trainer = Trainer(c, workdir=str(tmp_path / "run"))
+    state = trainer.fit()
+    assert int(state.step) == 3
