@@ -99,6 +99,80 @@ def upfirdn2d_native(x: jax.Array, kernel: jax.Array, up_x=1, up_y=1,
     return acc[:, ::down_y, ::down_x, :]
 
 
+def upfirdn2d_pallas(x: jax.Array, kernel: jax.Array, up=1, down=1,
+                     pad=(0, 0)):
+    """Hand-written Pallas TPU kernel for the up-FIR-down pipeline.
+
+    One VMEM pass per image: the padded (and zero-inserted) input tile is
+    materialized in VMEM scratch, the small FIR kernel is unrolled into
+    shifted multiply-accumulates on the VPU (channels ride the 128-lane
+    axis), and decimation is a strided slice of the accumulator.
+
+    Measured against the XLA `conv_general_dilated` formulation in
+    bench-mode (see tests/test_kernels.py parity and RESULTS.md); the XLA
+    path remains the default — this kernel exists for the cases where a
+    fused single-pass beats the general conv and as the Pallas reference
+    for the op (SURVEY.md §2.1 TPU plan).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    up_x, up_y = _parse2(up)
+    down_x, down_y = _parse2(down)
+    pad0, pad1 = pad
+    n, h, w, c = x.shape
+    kh, kw = kernel.shape
+    kflip = jnp.flip(kernel, (0, 1)).astype(x.dtype)
+
+    # zero-insertion buffer is h·up rows (incl. the up-1 trailing zeros)
+    in_h = h * up_y + pad0 + pad1
+    in_w = w * up_x + pad0 + pad1
+    out_h = (in_h - kh) // down_y + 1
+    out_w = (in_w - kw) // down_x + 1
+    assert pad0 >= 0 and pad1 >= 0, "pallas path: non-negative pads only"
+
+    def kernel_fn(x_ref, k_ref, o_ref):
+        def body(buf):
+            # zero-inserted upsample + zero pad into VMEM scratch
+            buf[:] = jnp.zeros((in_h, in_w, c), x_ref.dtype)
+            xx = x_ref[0]
+            if up_y == 1 and up_x == 1:
+                buf[pl.ds(pad0, h), pl.ds(pad0, w), :] = xx
+            else:
+                z = jnp.zeros((h, up_y, w, up_x, c), xx.dtype)
+                z = z.at[:, 0, :, 0, :].set(xx)
+                z = z.reshape(h * up_y, w * up_x, c)
+                buf[pl.ds(pad0, h * up_y), pl.ds(pad0, w * up_x), :] = z
+            # unrolled FIR multiply-accumulate on the VPU
+            ext_h = (out_h - 1) * down_y + 1
+            ext_w = (out_w - 1) * down_x + 1
+            acc = jnp.zeros((ext_h, ext_w, c), xx.dtype)
+            for i in range(kh):
+                for j in range(kw):
+                    acc = acc + k_ref[i, j] * buf[
+                        pl.ds(i, ext_h), pl.ds(j, ext_w), :
+                    ]
+            o_ref[0] = acc[::down_y, ::down_x, :]
+
+        pl.run_scoped(
+            body, pltpu.VMEM((in_h, in_w, c), x.dtype)
+        )
+
+    out = pl.pallas_call(
+        kernel_fn,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, out_h, out_w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, out_h, out_w, c), x.dtype),
+    )(x, kflip)
+    return out
+
+
 def _setup_kernel(k) -> jax.Array:
     k = jnp.asarray(k, dtype=jnp.float32)
     if k.ndim == 1:

@@ -102,3 +102,23 @@ def test_fused_leaky_relu_gradients():
     gx_ref, gb_ref = jax.grad(f_ref, argnums=(0, 1))(x, b)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_ref), rtol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "up,down,pad,kshape",
+    [(1, 1, (1, 1), (3, 3)), (2, 1, (2, 1), (4, 4)),
+     (1, 2, (1, 1), (4, 4)), (2, 2, (1, 1), (3, 3))],
+)
+def test_upfirdn2d_pallas_matches_xla(up, down, pad, kshape):
+    """Hand-written Pallas kernel (interpret mode on CPU) == XLA conv path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from iddiff.kernels.upfirdn2d import upfirdn2d_pallas
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=kshape).astype(np.float32))
+    ref = upfirdn2d(x, k, up=up, down=down, pad=pad)
+    with pltpu.force_tpu_interpret_mode():
+        got = upfirdn2d_pallas(x, k, up=up, down=down, pad=pad)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
