@@ -14,12 +14,14 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_LIB_PATH = os.path.join(_HERE, "_libiddiff_loader.so")
+_BUILD_DIR = os.path.join(_HERE, "_build")
+_LIB_PATH = os.path.join(_BUILD_DIR, "libiddiff_loader.so")
 _lib = None
 _lib_lock = threading.Lock()
 
 
 def _build() -> str:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
     src = os.path.join(_HERE, "loader.cpp")
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
