@@ -1,6 +1,5 @@
 """Line dataset (ID=1 curve in R^100) — mirrors the reference's line setup
 (/root/reference/lightning_data_modules/LineDataset.py:24-38 with fcn + VESDE)."""
-import ml_collections
 
 from iddiff.configs.dimension_estimation.ksphere import ksphere_config
 

@@ -1,6 +1,5 @@
 """Mammoth point cloud (ID=2) embedded in R^100 — mirrors
 /root/reference/configs/dimension_estimation/extra_experiments/mammoth/vesde.py."""
-import ml_collections
 
 from iddiff.configs.dimension_estimation.ksphere import ksphere_config
 

@@ -58,12 +58,11 @@ def _restore_eval_params(config, model, datamodule, workdir):
         return params
     optimizer = make_optimizer(config)
     abstract = TrainState.create(params, optimizer.init(params), rng)
+    keeper = CheckpointKeeper(ckpt_path)
     try:
-        keeper = CheckpointKeeper(ckpt_path)
         state = keeper.restore(abstract, which="best")
-    except (FileNotFoundError, Exception) as e:  # noqa: BLE001
+    except Exception as e:  # fall back to 'last', then fail with context
         try:
-            keeper = CheckpointKeeper(ckpt_path)
             state = keeper.restore(abstract, which="last")
         except Exception:
             raise FileNotFoundError(
