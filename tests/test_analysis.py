@@ -121,3 +121,23 @@ def test_isomap_id_smoke():
     )
     est = isomap_id(data, max_dim=5)
     assert 1 <= est <= 4
+
+
+def test_fid_properties():
+    from iddiff.analysis.fid import fid, frechet_distance, pixel_fid
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(500, 16))
+    a2 = rng.normal(size=(500, 16))
+    b = rng.normal(loc=2.0, size=(500, 16))
+    assert fid(a, a) < 1e-8  # identical sets
+    near = fid(a, a2)        # same distribution, sampling noise only
+    far = fid(a, b)          # shifted distribution
+    assert far > near * 5
+    # frechet of identical gaussians is 0
+    mu, sig = np.zeros(4), np.eye(4)
+    assert abs(frechet_distance(mu, sig, mu, sig)) < 1e-10
+    # pixel fid on images
+    imgs_a = rng.uniform(size=(100, 8, 8, 1))
+    imgs_b = rng.uniform(size=(100, 8, 8, 1)) + 0.5
+    assert pixel_fid(imgs_a, imgs_b) > pixel_fid(imgs_a, imgs_a[:50])
