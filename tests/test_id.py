@@ -189,3 +189,39 @@ def test_conditional_manifold_dimension_artifacts(tmp_path):
         assert len(info["singular_values"][0]) == 2  # d = 2
         with open(svd_root / s / "labels.pkl", "rb") as f:
             assert pickle.load(f)["labels"] == [1, 1, 1]
+
+
+def test_manifold_dimension_chunked_padding(tmp_path):
+    """run_lib chunking: P=5 with chunk=2 (ragged tail pad) reproduces dim k."""
+    import ml_collections
+
+    from iddiff import run_lib
+
+    k, d = 4, 24
+    c = ml_collections.ConfigDict()
+    c.seed = 0
+    c.logging = ml_collections.ConfigDict(
+        {"log_path": str(tmp_path), "log_name": "chunk", "svd_points": 5,
+         "top_k": 1, "every_n_epochs": None, "envery_timedelta": None}
+    )
+    c.training = ml_collections.ConfigDict(dict(
+        batch_size=64, sde="vesde", continuous=True, workers=0,
+        lightning_module="ksphere_gt",
+    ))
+    c.validation = ml_collections.ConfigDict({"batch_size": 64, "workers": 0})
+    c.eval = ml_collections.ConfigDict({"batch_size": 64, "workers": 0})
+    c.data = ml_collections.ConfigDict(dict(
+        datamodule="KSphere", data_samples=200, n_spheres=1, ambient_dim=d,
+        manifold_dim=k, noise_std=0.0, embedding_type="first",
+        split=[0.8, 0.1, 0.1], return_labels=False, use_data_mean=False,
+    ))
+    c.model = ml_collections.ConfigDict(dict(
+        name="ksphere_gt_exact", checkpoint_path=None, sigma_max=2.0,
+        sigma_min=1e-2, num_scales=100, ema_rate=0.999,
+    ))
+    c.dim_estimation = ml_collections.ConfigDict(
+        {"num_datapoints": 5, "points_per_chunk": 2}
+    )
+    dims = run_lib.get_manifold_dimension(c)
+    assert len(dims) == 5
+    assert int(np.median(dims)) == k, dims
