@@ -122,3 +122,21 @@ def test_upfirdn2d_pallas_matches_xla(up, down, pad, kshape):
     with pltpu.force_tpu_interpret_mode():
         got = upfirdn2d_pallas(x, k, up=up, down=down, pad=pad)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_upfirdn2d_fused_gradient_matches_xla():
+    """custom_vjp fused path: value and gradient equal the XLA formulation
+    (on CPU the fused forward IS the XLA path; the vjp wiring is what's
+    under test)."""
+    from iddiff.kernels.upfirdn2d import upfirdn2d_fused
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32))
+
+    f_fused = lambda x: jnp.sum(upfirdn2d_fused(x, k, 1, 2, (1, 1)) ** 2)
+    f_xla = lambda x: jnp.sum(upfirdn2d(x, k, up=1, down=2, pad=(1, 1)) ** 2)
+    np.testing.assert_allclose(float(f_fused(x)), float(f_xla(x)), rtol=1e-5)
+    g1 = jax.grad(f_fused)(x)
+    g2 = jax.grad(f_xla)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4)
