@@ -160,3 +160,41 @@ def test_synthetic_timeseries_module():
     cond, target = next(iter(dm.train_dataloader()))
     assert cond.shape == (8, 8, 3)
     assert target.shape == (8, 4, 3)
+
+
+def test_conditional_decreasing_variance_trainer(tmp_path):
+    """Two-SDE decreasing-variance module: trains and anneals σ_y per the
+    inverse-multiplicative schedule (traced scalars, no recompiles)."""
+    from iddiff.training import Trainer
+    from iddiff.configs.default import get_default_configs
+
+    c = get_default_configs()
+    c.training.lightning_module = "conditional_decreasing_variance"
+    c.training.batch_size = 16
+    c.validation.batch_size = 16
+    c.eval.batch_size = 16
+    c.training.num_epochs = 2
+    c.training.n_iters = 20
+    c.training.log_freq = 5
+    c.training.sde = "vesde"
+    c.training.conditioning_approach = "ve"
+    c.training.visualization_callback = None
+    c.data = ml_collections.ConfigDict(dict(
+        datamodule="ConditionalSynthetic", data_samples=200, ambient_dim=6,
+        manifold_dim=2, split=[0.8, 0.1, 0.1], return_labels=False,
+        use_data_mean=False,
+    ))
+    c.model = ml_collections.ConfigDict(dict(
+        name="fcn_joint", checkpoint_path=None, state_size=6,
+        hidden_layers=1, hidden_nodes=32, dropout=0.0, num_scales=50,
+        ema_rate=0.999, sigma_min_x=1e-2, sigma_max_x=2.0,
+        sigma_min_y=1e-2, sigma_max_y=2.0, sigma_min_y_target=1e-3,
+        sigma_max_y_target=0.2, reach_target_steps=100,
+    ))
+    trainer = Trainer(c, workdir=str(tmp_path / "dv"))
+    state = trainer.fit()
+    assert int(state.step) == 20
+    s0 = trainer.scalars_fn(0, 0)
+    s100 = trainer.scalars_fn(0, 100)
+    np.testing.assert_allclose(float(s0[1]), 2.0, rtol=1e-5)
+    np.testing.assert_allclose(float(s100[1]), 0.2, rtol=1e-5)
