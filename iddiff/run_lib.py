@@ -225,20 +225,27 @@ def test(config, workdir: str | None = None):
         trainer.state = trainer.keeper.restore(trainer.state, which="best")
     except FileNotFoundError:
         pass
+    from iddiff.training.trainer import pad_to_multiple
+
     rng = jax.random.PRNGKey(0)
-    losses = []
+    total, count = 0.0, 0
     paired_batch = None
+    # full test split by default (the reference evaluates full splits);
+    # config.eval.max_batches optionally caps the pass for quick smoke runs
+    max_batches = config.get("eval", {}).get("max_batches", None)
     for i, batch in enumerate(trainer.datamodule.test_dataloader()):
-        if not trainer._mesh_divisible(batch):
-            continue
+        if max_batches is not None and i >= int(max_batches):
+            print(f"[iddiff] test truncated at {int(max_batches)} batches "
+                  "(config.eval.max_batches)")
+            break
+        batch, n_true = pad_to_multiple(batch, trainer.mesh.shape["data"])
         rng, sub = jax.random.split(rng)
         batch = trainer._to_device(batch)
         if isinstance(batch, tuple) and paired_batch is None:
             paired_batch = batch
-        losses.append(float(trainer.eval_step(trainer.state, batch, sub)))
-        if i >= 64:
-            break
-    result = {"test_loss": float(np.mean(losses))}
+        total += float(trainer.eval_step(trainer.state, batch, sub)) * n_true
+        count += n_true
+    result = {"test_loss": total / count if count else float("nan")}
 
     if paired_batch is not None and trainer.conditional:
         from iddiff.analysis.evaluation import batch_psnr, batch_ssim
