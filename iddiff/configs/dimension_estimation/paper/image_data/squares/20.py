@@ -1,6 +1,15 @@
-"""Reference-path alias: .../image_data/squares/20.py (also 20.py, 100.py)"""
+"""Reference-path alias, full paper budget (see squares/10.py docstring)."""
+import importlib.util
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "squares10_paper", os.path.join(os.path.dirname(__file__), "10.py")
+)
+_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_mod)
+
 from iddiff.configs.dimension_estimation.squares import squares_config
 
 
 def get_config():
-    return squares_config(20, kind="squares")
+    return _mod.paper_budget(squares_config(20, kind="squares"))

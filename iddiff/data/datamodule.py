@@ -40,6 +40,12 @@ class EpochIterator:
         if self.shuffle:
             idx = self._rng.permutation(self.n)
         if self.num_shards > 1:
+            # all hosts share the seed, so the permutation is identical
+            # everywhere and strides are disjoint; truncate to a multiple of
+            # num_shards first so every host sees the SAME number of batches
+            # of the SAME sizes (hosts must stay in lockstep — a ragged
+            # global tail would deadlock the collective)
+            idx = idx[: (len(idx) // self.num_shards) * self.num_shards]
             idx = idx[self.shard_index:: self.num_shards]
         for start in range(0, len(idx), self.batch_size):
             sel = idx[start: start + self.batch_size]
@@ -56,15 +62,39 @@ class ArrayDataModule:
     reference's torch.random_split is replaced by a seeded permutation.
     """
 
-    def __init__(self, config):
+    def __init__(self, config, shard_index: int | None = None,
+                 num_shards: int | None = None):
         self.config = config
         self.split = list(config.data.split)
-        self.train_batch = config.training.batch_size
-        self.val_batch = config.validation.batch_size
-        self.test_batch = config.eval.batch_size
+        # Per-host data sharding (replaces Lightning's DistributedSampler,
+        # SURVEY.md §2.13): every host generates the same dataset (seeded),
+        # then iterates a disjoint 1/num_shards stride of every epoch's
+        # global permutation.  Defaults come from the jax runtime; explicit
+        # args exist so tests can fake a cluster in one process.
+        if num_shards is None or shard_index is None:
+            from iddiff.parallel import process_shard
+
+            shard_index, num_shards = process_shard()
+        self.shard_index = int(shard_index)
+        self.num_shards = int(num_shards)
+        # config batch sizes are GLOBAL (the jit programs see the full batch
+        # assembled across hosts); each host loads its 1/num_shards slice
+        self.train_batch = self._local_batch(config.training.batch_size)
+        self.val_batch = self._local_batch(config.validation.batch_size)
+        self.test_batch = self._local_batch(config.eval.batch_size)
         self.seed = int(config.get("seed", 42))
         self.return_labels = bool(config.data.get("return_labels", False))
         self._setup_done = False
+
+    def _local_batch(self, global_batch: int) -> int:
+        if self.num_shards == 1:
+            return int(global_batch)
+        if global_batch % self.num_shards:
+            raise ValueError(
+                f"global batch size {global_batch} not divisible by "
+                f"{self.num_shards} hosts"
+            )
+        return int(global_batch) // self.num_shards
 
     # --- to be overridden ---------------------------------------------------
     def generate(self, config):
@@ -101,7 +131,9 @@ class ArrayDataModule:
     def _loader(self, data, labels, batch, shuffle, seed, drop_last=False):
         arrays = (data,) if (labels is None or not self.return_labels) else (data, labels)
         return EpochIterator(arrays, batch, shuffle=shuffle, seed=seed,
-                             drop_last=drop_last)
+                             drop_last=drop_last,
+                             shard_index=self.shard_index,
+                             num_shards=self.num_shards)
 
     def train_dataloader(self):
         # static shapes for jit + mesh-divisible batches: drop ragged tails
@@ -111,6 +143,8 @@ class ArrayDataModule:
         # must keep their python path
         plain_loader = type(self)._loader is ArrayDataModule._loader and \
             type(self).train_dataloader is ArrayDataModule.train_dataloader
+        if self.num_shards > 1:
+            plain_loader = False  # native loader has no shard support yet
         if use_native in (True, "auto") and plain_array and plain_loader:
             cached = getattr(self, "_native_train_iter", None)
             if cached is not None:

@@ -48,7 +48,9 @@ class _PairedMixin:
                 jax.image.resize(jnp.asarray(lr), hr.shape, method="bicubic"),
                 dtype=np.float32,
             )
-        return EpochIterator((lr, hr), batch, shuffle=shuffle, seed=seed)
+        return EpochIterator((lr, hr), batch, shuffle=shuffle, seed=seed,
+                             shard_index=self.shard_index,
+                             num_shards=self.num_shards)
 
     def train_dataloader(self):
         return self._pair_loader(self.train_data, self.train_batch, True, self.seed + 1)
@@ -101,6 +103,158 @@ class LRHRPKLDataModule(_PairedMixin, ArrayDataModule):
         return arr
 
 
+def _load_pkl_array(path: str) -> np.ndarray:
+    """HR crops from a SRFLOW .pklv4 pickle (list of HWC uint8 arrays) or a
+    .npy/.npz; returns float32 NHWC in [0,1] (SRFLOWDataset.py:58-66)."""
+    import pickle
+
+    if path.endswith((".pkl", ".pickle", ".pklv4")):
+        with open(path, "rb") as f:
+            arr = pickle.load(f)
+        arr = np.asarray(arr, dtype=np.float32)
+    else:
+        arr = np.load(path)
+        if hasattr(arr, "files"):
+            arr = arr[arr.files[0]]
+        arr = np.asarray(arr, dtype=np.float32)
+    if arr.ndim == 4 and arr.shape[1] in (1, 3) and arr.shape[-1] not in (1, 3):
+        arr = np.transpose(arr, (0, 2, 3, 1))  # CHW pickles -> NHWC
+    if arr.max() > 2.0:
+        arr = arr / 255.0
+    return arr
+
+
+def _bicubic_resize(batch: np.ndarray, size: int) -> np.ndarray:
+    import jax
+    import jax.numpy as jnp
+
+    n, _, _, c = batch.shape
+    return np.asarray(
+        jax.image.resize(jnp.asarray(batch), (n, size, size, c),
+                         method="bicubic"),
+        dtype=np.float32,
+    )
+
+
+@register_datamodule(name="Haar_PKL")
+class HaarPKLDataModule(ArrayDataModule):
+    """Haar-space pairs from pickled HR crops (SRFLOWDataset.py:183-258 +
+    registration :437-465).  config.data.map selects the conditioning:
+      'approx to detail'  -> (approx_cf, detail_cf)
+      'bicubic to approx' -> (lr, approx_cf)
+      'bicubic to haar'   -> (lr, concat(approx_cf, detail_cf))
+    where (approx_cf, detail_cf) come from `level+1` Haar forward passes
+    (multi_level_haar_forward, :222-227) — here the fixed orthogonal Haar
+    DWT of nn/haar.py, vectorized over the whole array once at setup."""
+
+    def generate(self, config):
+        return _load_pkl_array(config.data.hr_path)
+
+    def _haar_pair(self, hr):
+        import jax.numpy as jnp
+
+        from iddiff.nn.haar import haar_forward
+
+        d = self.config.data
+        level = int(d.get("level", 0))
+        approx = jnp.asarray(hr)
+        detail = None
+        for _ in range(level + 1):
+            out = haar_forward(approx)
+            C = out.shape[-1] // 4
+            approx, detail = out[..., :C], out[..., C:]
+        approx, detail = np.asarray(approx), np.asarray(detail)
+
+        mapping = d.get("map", "approx to detail")
+        if mapping == "approx to detail":
+            return approx, detail
+        scale = hr.shape[1] // approx.shape[1]
+        lr = _bicubic_resize(hr, hr.shape[1] // max(int(d.get("scale", scale)), 1))
+        if mapping == "bicubic to approx":
+            return lr, approx
+        if mapping == "bicubic to haar":
+            return lr, np.concatenate([approx, detail], axis=-1)
+        raise NotImplementedError(f"Mapping <<{mapping}>> is not supported")
+
+    def _loader(self, data, labels, batch, shuffle, seed, drop_last=False):
+        y, x = self._haar_pair(data)
+        return EpochIterator((y, x), batch, shuffle=shuffle, seed=seed,
+                             drop_last=drop_last,
+                             shard_index=self.shard_index,
+                             num_shards=self.num_shards)
+
+
+@register_datamodule(name="General_PKL")
+class GeneralPKLDataModule(ArrayDataModule):
+    """Task-conditional pairs from pickled HR crops
+    (SRFLOWDataset.py:261-330 + registration :466-492).  config.data.task:
+      'super-resolution': (nearest-upscaled bicubic LR, HR)
+      'colorization':     (grayscale, HR)
+      'inpainting':       (masked HR, HR) with mask_coverage square masks
+    All conditions are precomputed vectorized (the reference masks/resizes
+    per-item in __getitem__)."""
+
+    def generate(self, config):
+        arr = _load_pkl_array(config.data.hr_path)
+        size = int(config.data.image_size)
+        if arr.shape[1] != size:
+            arr = _bicubic_resize(arr, size)
+        return arr
+
+    def _condition(self, hr, seed):
+        import jax
+        import jax.numpy as jnp
+
+        d = self.config.data
+        task = d.get("task", "super-resolution")
+        if task == "super-resolution":
+            scale = int(d.get("scale", 2))
+            lr = _bicubic_resize(hr, hr.shape[1] // scale)
+            # nearest-neighbour back to HR (lr_nn, SRFLOWDataset.py:312-315)
+            return np.asarray(
+                jax.image.resize(jnp.asarray(lr), hr.shape, method="nearest")
+            )
+        if task == "colorization":
+            w = np.array([0.2989, 0.587, 0.114], np.float32)[: hr.shape[-1]]
+            gray = (hr * (w / w.sum())).sum(-1, keepdims=True)
+            return np.asarray(gray, np.float32)
+        if task == "inpainting":
+            rng = np.random.default_rng(seed)
+            n, H, W, _ = hr.shape
+            cov = float(d.get("mask_coverage", 0.25))
+            m = int(np.sqrt(cov * H * W))
+            sx = rng.integers(0, max(H - m, 0) + 1, size=n)
+            sy = rng.integers(0, max(W - m, 0) + 1, size=n)
+            rows = np.arange(H)[None, :, None]
+            cols = np.arange(W)[None, None, :]
+            mask = ((rows >= sx[:, None, None]) & (rows < (sx + m)[:, None, None])
+                    & (cols >= sy[:, None, None]) & (cols < (sy + m)[:, None, None]))
+            out = hr.copy()
+            out[mask] = 0.0
+            return out
+        raise NotImplementedError(f"task <<{task}>> is not supported")
+
+    def _loader(self, data, labels, batch, shuffle, seed, drop_last=False):
+        y = self._condition(data, seed)
+        return EpochIterator((y, data), batch, shuffle=shuffle, seed=seed,
+                             drop_last=drop_last,
+                             shard_index=self.shard_index,
+                             num_shards=self.num_shards)
+
+
+@register_datamodule(name="unpaired_PKL")
+class UnpairedPKLDataModule(ArrayDataModule):
+    """Unconditional pickled crops resized to data.image_size
+    (PKLDataset, SRFLOWDataset.py:50-77 + registration :493-519)."""
+
+    def generate(self, config):
+        arr = _load_pkl_array(config.data.hr_path)
+        size = int(config.data.image_size)
+        if arr.shape[1] != size:
+            arr = _bicubic_resize(arr, size)
+        return arr
+
+
 @register_datamodule(name="bicubic_multiscale")
 class BicubicMultiscaleDataModule(_PairedMixin, ArrayDataModule):
     """Bicubic LR/HR pairs at a chosen scale (SRDataset.py:66): identical to
@@ -130,7 +284,9 @@ class Conditional1DSyntheticDataModule(ArrayDataModule):
 
     def _loader(self, data, labels, batch, shuffle, seed, drop_last=False):
         return EpochIterator((labels, data), batch, shuffle=shuffle,
-                             seed=seed, drop_last=drop_last)
+                             seed=seed, drop_last=drop_last,
+                             shard_index=self.shard_index,
+                             num_shards=self.num_shards)
 
 
 @register_datamodule(name="ConditionalSynthetic")
@@ -157,4 +313,14 @@ class ConditionalSyntheticDataModule(ArrayDataModule):
     def _loader(self, data, labels, batch, shuffle, seed, drop_last=False):
         # conditional losses expect batch = (y, x)
         return EpochIterator((labels, data), batch, shuffle=shuffle, seed=seed,
-                             drop_last=drop_last)
+                             drop_last=drop_last,
+                             shard_index=self.shard_index,
+                             num_shards=self.num_shards)
+
+
+# reference-parity registry aliases — the reference registers the PKL
+# datamodules under '<X>_PKLDataset' names (SRFLOWDataset.py:409,437,466,493)
+register_datamodule(LRHRPKLDataModule, name="LRHR_PKLDataset")
+register_datamodule(HaarPKLDataModule, name="Haar_PKLDataset")
+register_datamodule(GeneralPKLDataModule, name="General_PKLDataset")
+register_datamodule(UnpairedPKLDataModule, name="unpaired_PKLDataset")

@@ -41,6 +41,8 @@ class _WindowedSeriesModule(ArrayDataModule):
         cond = data[:, :L_1]
         target = data[:, L_1:]
         return EpochIterator((cond, target), batch, shuffle=shuffle,
+                             shard_index=self.shard_index,
+                             num_shards=self.num_shards,
                              seed=seed, drop_last=drop_last)
 
 

@@ -1,3 +1,19 @@
-from .mesh import make_mesh, shard_batch, replicate, infer_param_sharding
+from .mesh import (
+    host_local_divisor,
+    infer_param_sharding,
+    make_mesh,
+    maybe_initialize_distributed,
+    process_shard,
+    replicate,
+    shard_batch,
+)
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "infer_param_sharding"]
+__all__ = [
+    "host_local_divisor",
+    "infer_param_sharding",
+    "make_mesh",
+    "maybe_initialize_distributed",
+    "process_shard",
+    "replicate",
+    "shard_batch",
+]

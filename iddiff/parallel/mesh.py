@@ -24,22 +24,48 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def maybe_initialize_distributed(config=None):
     """Multi-host initialization (the jax equivalent of Lightning's
     num_nodes/DDP launch, run_lib.py:57-60): call once per host before mesh
-    construction.  No-ops single-process; coordinator settings come from
-    standard JAX env vars or config.training.coordinator_address."""
+    construction.  No-ops single-process.  Triggers:
+
+      - JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars
+        (or config.training.coordinator_address) — explicit cluster spec;
+      - config.training.num_nodes > 1 — bare jax.distributed.initialize(),
+        which auto-detects the cluster on TPU pod slices (GCE metadata).
+
+    Idempotent: safe to call from both main.py and run_lib.train.
+    """
     import os
 
+    if jax.process_count() > 1:
+        return True  # already initialized
     addr = None
+    num_nodes = 1
     if config is not None:
         addr = config.training.get("coordinator_address", None)
+        num_nodes = int(config.training.get("num_nodes", 1))
     addr = addr or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if addr is None:
-        return False
-    jax.distributed.initialize(
-        coordinator_address=addr,
-        num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
-        process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
-    )
-    return True
+    if addr is not None:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
+        return True
+    if num_nodes > 1:
+        jax.distributed.initialize()  # TPU pod auto-detection
+        return True
+    return False
+
+
+def process_shard():
+    """(shard_index, num_shards) for per-host data sharding — the
+    DistributedSampler replacement (SURVEY.md §2.13)."""
+    return jax.process_index(), jax.process_count()
+
+
+def host_local_divisor(mesh: Mesh) -> int:
+    """Number of data-axis shards this host feeds: a host-local batch must
+    have a leading dim divisible by this for `shard_batch` to place it."""
+    return max(1, mesh.shape["data"] // jax.process_count())
 
 
 def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
@@ -54,10 +80,24 @@ def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch (or tuple/dict of arrays) sharded over 'data'."""
+    """Place a host batch (or tuple/dict of arrays) sharded over 'data'.
+
+    Single-process: a plain device_put with a NamedSharding.
+    Multi-host: each host passes its LOCAL shard (1/process_count of the
+    global batch, from EpochIterator's per-host sharding) and the global
+    array is assembled with jax.make_array_from_process_local_data — the
+    jax equivalent of DistributedSampler + DDP scatter.
+    """
+    multihost = jax.process_count() > 1
+
     def put(x):
         spec = P("data") if getattr(x, "ndim", 0) >= 1 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multihost and getattr(x, "ndim", 0) >= 1:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            )
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
 

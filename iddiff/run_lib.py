@@ -32,6 +32,11 @@ def _workdir(config, workdir=None):
 
 def train(config, workdir: str | None = None, resume: bool = True):
     """--mode train (run_lib.py:37-71)."""
+    from iddiff.parallel import maybe_initialize_distributed
+
+    # multi-host init (the num_nodes/DDP equivalent of run_lib.py:57-60);
+    # no-op single-process, idempotent if main.py already called it
+    maybe_initialize_distributed(config)
     if config.data.get("create_dataset", False):
         # offline Haar-pyramid build before training (run_lib.py:39-40)
         from iddiff.data.haar import create_haar_dataset
@@ -238,7 +243,7 @@ def test(config, workdir: str | None = None):
             print(f"[iddiff] test truncated at {int(max_batches)} batches "
                   "(config.eval.max_batches)")
             break
-        batch, n_true = pad_to_multiple(batch, trainer.mesh.shape["data"])
+        batch, n_true = pad_to_multiple(batch, trainer._host_div)
         rng, sub = jax.random.split(rng)
         batch = trainer._to_device(batch)
         if isinstance(batch, tuple) and paired_batch is None:
@@ -248,7 +253,9 @@ def test(config, workdir: str | None = None):
     result = {"test_loss": total / count if count else float("nan")}
 
     if paired_batch is not None and trainer.conditional:
-        from iddiff.analysis.evaluation import batch_psnr, batch_ssim
+        from iddiff.analysis.evaluation import (
+            batch_ms_ssim, batch_psnr, batch_ssim,
+        )
         from iddiff.sampling import get_conditional_sampling_fn
 
         y, x = paired_batch
@@ -260,7 +267,12 @@ def test(config, workdir: str | None = None):
             fn(jax.random.PRNGKey(1), trainer.state.ema_params, y)
         )
         if samples.ndim >= 3:  # image-like: report SR metrics
+            # three metrics like the reference (PSNR/SSIM/LPIPS,
+            # PairedCallback.py:88-232); MS-SSIM stands in for LPIPS
+            # (weights-free — see analysis/evaluation.py, MIGRATION.md)
             result["test_psnr"] = batch_psnr(samples, np.asarray(x))
             result["test_ssim"] = batch_ssim(samples, np.asarray(x))
+            if samples.ndim == 4 and samples.shape[1] >= 11:
+                result["test_ms_ssim"] = batch_ms_ssim(samples, np.asarray(x))
     print(f"[iddiff] test: {result}")
     return result

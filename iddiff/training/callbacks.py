@@ -294,7 +294,9 @@ class PairedVisualization(Callback):
         freq = trainer.config.logging.get("viz_frequency", 10)
         if epoch % max(freq, 1) != 0:
             return
-        from iddiff.analysis.evaluation import batch_psnr, batch_ssim
+        from iddiff.analysis.evaluation import (
+            batch_ms_ssim, batch_psnr, batch_ssim,
+        )
         from iddiff.sampling import get_conditional_sampling_fn
 
         loader = trainer.datamodule.val_dataloader()
@@ -313,6 +315,9 @@ class PairedVisualization(Callback):
         )
         metrics["val_psnr"] = batch_psnr(samples, np.asarray(x))
         metrics["val_ssim"] = batch_ssim(samples, np.asarray(x))
+        if samples.ndim == 4 and samples.shape[1] >= 11:
+            # LPIPS stand-in (no weights in this image): MS-SSIM
+            metrics["val_ms_ssim"] = batch_ms_ssim(samples, np.asarray(x))
 
 
 @register_callback(name="haar_multiscale")

@@ -15,24 +15,32 @@ from pathlib import Path
 
 
 class MetricsWriter:
-    def __init__(self, workdir: str):
-        Path(workdir).mkdir(parents=True, exist_ok=True)
-        self._jsonl = open(os.path.join(workdir, "metrics.jsonl"), "a")
+    def __init__(self, workdir: str, enabled: bool = True):
+        # enabled=False on non-zero hosts: multi-host training writes
+        # metrics/TB/log files from process 0 only (checkpoints are saved
+        # collectively by orbax and are unaffected)
+        self.enabled = enabled
+        self._jsonl = None
         self._tb = None
-        try:
-            from tensorboardX import SummaryWriter
+        Path(workdir).mkdir(parents=True, exist_ok=True)
+        if enabled:
+            self._jsonl = open(os.path.join(workdir, "metrics.jsonl"), "a")
+            try:
+                from tensorboardX import SummaryWriter
 
-            self._tb = SummaryWriter(os.path.join(workdir, "tb"))
-        except Exception:
-            pass
-        logging.basicConfig(
-            filename=os.path.join(workdir, "log_records.txt"),
-            level=logging.INFO,
-            format="%(asctime)s %(levelname)s %(message)s",
-        )
+                self._tb = SummaryWriter(os.path.join(workdir, "tb"))
+            except Exception:
+                pass
+            logging.basicConfig(
+                filename=os.path.join(workdir, "log_records.txt"),
+                level=logging.INFO,
+                format="%(asctime)s %(levelname)s %(message)s",
+            )
         self.log = logging.getLogger("iddiff")
 
     def scalars(self, step: int, **kv):
+        if not self.enabled:
+            return
         rec = {"step": int(step), "time": time.time()}
         rec.update({k: float(v) for k, v in kv.items()})
         self._jsonl.write(json.dumps(rec) + "\n")
@@ -51,6 +59,7 @@ class MetricsWriter:
             self._tb.add_figure(tag, fig, int(step))
 
     def close(self):
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()

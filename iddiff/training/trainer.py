@@ -18,7 +18,7 @@ logger = logging.getLogger("iddiff.trainer")
 
 from iddiff.data import create_datamodule
 from iddiff.models import create_model
-from iddiff.parallel import make_mesh, replicate, shard_batch
+from iddiff.parallel import host_local_divisor, make_mesh, replicate, shard_batch
 from iddiff.sde import get_sde
 
 from .callbacks import get_callbacks
@@ -98,6 +98,9 @@ class Trainer:
         self.sde, self.sampling_eps = get_sde(config, conditional=self.conditional)
         self.model = create_model(config)
         self.mesh = mesh if mesh is not None else make_mesh()
+        # a host-local batch must be divisible by this many data shards
+        # (== mesh data axis single-host; data_axis/process_count multi-host)
+        self._host_div = host_local_divisor(self.mesh)
 
         from .modules import build_module_losses
 
@@ -113,7 +116,9 @@ class Trainer:
         )
         self.eval_step = make_eval_step(self.eval_loss_fn, mesh=self.mesh)
 
-        self.metrics = MetricsWriter(workdir)
+        self.metrics = MetricsWriter(
+            workdir, enabled=jax.process_index() == 0
+        )
         self.callbacks = get_callbacks(config)
         log = config.get("logging", None)
         every_td = None
@@ -205,7 +210,7 @@ class Trainer:
                     "epoch %d: skipped %d training samples in batches not "
                     "divisible by the %d-way data mesh (use drop_last or a "
                     "divisible batch size to silence)",
-                    epoch, skipped, self.mesh.shape["data"],
+                    epoch, skipped, self._host_div,
                 )
             if profiling:
                 jax.profiler.stop_trace()
@@ -250,7 +255,7 @@ class Trainer:
                     "(config.validation.max_batches)", int(max_batches),
                 )
                 break
-            batch, n_true = pad_to_multiple(batch, self.mesh.shape["data"])
+            batch, n_true = pad_to_multiple(batch, self._host_div)
             rng, sub = jax.random.split(rng)
             batch = shard_batch(self.mesh, self._to_device(batch))
             total += float(self.eval_step(self.state, batch, sub)) * n_true
@@ -258,7 +263,7 @@ class Trainer:
         return {"eval_loss": total / count if count else float("nan")}
 
     def _mesh_divisible(self, batch) -> bool:
-        return self._lead_dim(batch) % self.mesh.shape["data"] == 0
+        return self._lead_dim(batch) % self._host_div == 0
 
     def _lead_dim(self, batch) -> int:
         return int((batch[0] if isinstance(batch, tuple) else batch).shape[0])

@@ -59,6 +59,12 @@ def main(argv):
         config.logging.svd_frequency = 1
         config.logging.svd_points = 2
 
+    # multi-host init (the reference's num_nodes/DDP launch, run_lib.py:57-60)
+    # — must run before any mesh construction; no-op single-process
+    from iddiff.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed(config)
+
     mode = FLAGS.mode
     if mode == "train":
         run_lib.train(config, workdir=FLAGS.workdir, resume=FLAGS.resume)

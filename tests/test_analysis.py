@@ -141,3 +141,29 @@ def test_fid_properties():
     imgs_a = rng.uniform(size=(100, 8, 8, 1))
     imgs_b = rng.uniform(size=(100, 8, 8, 1)) + 0.5
     assert pixel_fid(imgs_a, imgs_b) > pixel_fid(imgs_a, imgs_a[:50])
+
+
+def test_ms_ssim_properties():
+    """MS-SSIM: 1 for identical images, decreasing with distortion, in [0,1]."""
+    from iddiff.analysis.evaluation import batch_ms_ssim, ms_ssim
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(64, 64, 3))
+    assert ms_ssim(img, img) == pytest.approx(1.0, abs=1e-6)
+    light = np.clip(img + 0.02 * rng.normal(size=img.shape), 0, 1)
+    heavy = np.clip(img + 0.5 * rng.normal(size=img.shape), 0, 1)
+    s_light, s_heavy = ms_ssim(img, light), ms_ssim(img, heavy)
+    assert 0.0 <= s_heavy < s_light <= 1.0
+    # batch version + small images fall back to fewer scales w/o error
+    small = rng.uniform(size=(2, 16, 16, 1))
+    assert 0 <= batch_ms_ssim(small, small) <= 1.0
+
+
+def test_perceptual_distance_fallback():
+    from iddiff.analysis.evaluation import perceptual_distance
+
+    rng = np.random.default_rng(1)
+    a = rng.uniform(size=(2, 32, 32, 3))
+    out = perceptual_distance(a, a)
+    key = next(iter(out))
+    assert out[key] == pytest.approx(0.0, abs=1e-6)

@@ -125,3 +125,88 @@ def test_conditional_1d_synthetic():
     np.testing.assert_allclose(
         np.abs(x[:, 0]), np.abs(np.sin(np.pi * y)), atol=0.05
     )
+
+
+def _pkl_config(tmp_path, name, **data_kw):
+    crops = (np.random.default_rng(5).uniform(size=(24, 16, 16, 3)) * 255
+             ).astype(np.float32)
+    with open(tmp_path / "hr.pklv4", "wb") as f:
+        pickle.dump(list(crops), f)  # the SRFLOW pickles are lists of HWC
+    c = ml_collections.ConfigDict()
+    c.seed = 0
+    c.data = ml_collections.ConfigDict(dict(
+        datamodule=name, hr_path=str(tmp_path / "hr.pklv4"),
+        split=[0.5, 0.25, 0.25], return_labels=False, **data_kw,
+    ))
+    for k in ["training", "validation", "eval"]:
+        setattr(c, k, ml_collections.ConfigDict({"batch_size": 4, "workers": 0}))
+    return c
+
+
+def test_haar_pkl_datamodule(tmp_path):
+    """Haar_PKL (SRFLOWDataset.py:183-258): all three mappings."""
+    c = _pkl_config(tmp_path, "Haar_PKL", level=0, scale=2,
+                    map="approx to detail")
+    dm = create_datamodule(c)
+    dm.setup()
+    approx, detail = next(iter(dm.train_dataloader()))
+    assert approx.shape == (4, 8, 8, 3)
+    assert detail.shape == (4, 8, 8, 9)
+
+    c.data.map = "bicubic to approx"
+    dm = create_datamodule(c)
+    dm.setup()
+    lr, approx = next(iter(dm.train_dataloader()))
+    assert lr.shape == (4, 8, 8, 3) and approx.shape == (4, 8, 8, 3)
+
+    c.data.map = "bicubic to haar"
+    dm = create_datamodule(c)
+    dm.setup()
+    lr, haar = next(iter(dm.train_dataloader()))
+    assert haar.shape == (4, 8, 8, 12)
+
+    # values normalized to [0,1] from the uint8-range pickle
+    assert 0.0 <= lr.min() and lr.max() <= 1.0 + 1e-6
+
+
+def test_general_pkl_datamodule_tasks(tmp_path):
+    """General_PKL (SRFLOWDataset.py:261-330): SR / colorization / inpainting."""
+    c = _pkl_config(tmp_path, "General_PKL", image_size=16, scale=2,
+                    task="super-resolution", mask_coverage=0.25)
+    dm = create_datamodule(c)
+    dm.setup()
+    lr_nn, hr = next(iter(dm.train_dataloader()))
+    assert lr_nn.shape == hr.shape == (4, 16, 16, 3)
+    # nearest-upscaled from half res: 2x2 blocks are constant
+    assert np.allclose(lr_nn[:, ::2, ::2], lr_nn[:, 1::2, ::2])
+
+    c.data.task = "colorization"
+    dm = create_datamodule(c)
+    dm.setup()
+    gray, hr = next(iter(dm.train_dataloader()))
+    assert gray.shape == (4, 16, 16, 1)
+
+    c.data.task = "inpainting"
+    dm = create_datamodule(c)
+    dm.setup()
+    masked, hr = next(iter(dm.train_dataloader()))
+    assert masked.shape == hr.shape
+    # each image has a zeroed square of ~mask_coverage area
+    n_zero = (masked == 0).reshape(4, -1).sum(axis=1)
+    assert (n_zero >= 0.8 * 0.25 * 16 * 16 * 3).all()
+
+
+def test_unpaired_pkl_datamodule(tmp_path):
+    c = _pkl_config(tmp_path, "unpaired_PKL", image_size=8)
+    dm = create_datamodule(c)
+    dm.setup()
+    batch = next(iter(dm.train_dataloader()))
+    assert batch.shape == (4, 8, 8, 3)  # resized to image_size
+
+
+def test_pkl_reference_registry_aliases():
+    from iddiff.data.registry import DATAMODULES
+
+    for name in ["LRHR_PKLDataset", "Haar_PKLDataset", "General_PKLDataset",
+                 "unpaired_PKLDataset"]:
+        assert name in DATAMODULES
