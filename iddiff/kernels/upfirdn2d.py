@@ -190,6 +190,92 @@ def upfirdn2d_pallas(x: jax.Array, kernel: jax.Array, up=1, down=1,
     return out
 
 
+def _polyphase_plan(up, p0, p1, kw, w):
+    """Per-phase tap/offset plan for the polyphase up-FIR decomposition.
+
+    For output phase r (out index y = q*up + r), only kernel taps
+    i ≡ (p0 - r) (mod up) hit non-zero (inserted) samples; those taps read
+    the ORIGINAL input at q + base_r + m — no zero-stuffed buffer needed,
+    which is both the Mosaic-compilable formulation (the zero-insertion
+    interleave fails TC lowering) and 1/up² of the MACs of the dilated conv.
+    """
+    out_len = up * w + p0 + p1 - kw + 1
+    if out_len % up:
+        return None
+    phases = []
+    for r in range(up):
+        j0 = (p0 - r) % up
+        m_taps = max(0, -(-(kw - j0) // up))  # ceil((kw - j0)/up)
+        base = (r + j0 - p0) // up
+        phases.append((j0, m_taps, base))
+    left = max(0, -min(b for _, _, b in phases))
+    q_len = out_len // up
+    right = max(
+        0,
+        max(b + mt - 1 for _, mt, b in phases) + q_len - 1 - (w - 1),
+    )
+    return phases, left, right, q_len
+
+
+def upfirdn2d_pallas_up(x: jax.Array, kernel: jax.Array, up=1, pad=(0, 0)):
+    """Pallas TPU up-FIR (down=1) via polyphase decomposition.
+
+    The kernel computes up_y·up_x phase outputs (each a small unrolled FIR
+    over the un-dilated input in VMEM) into a phase-major buffer; the final
+    interleave is a cheap XLA transpose+reshape outside.  Covers the
+    reference CUDA up path (op/upfirdn2d_kernel.cu:49-368); parity-tested
+    against `upfirdn2d` compiled (tests/test_kernels.py)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    up_x, up_y = _parse2(up)
+    pad0, pad1 = pad
+    n, h, w, c = x.shape
+    kh, kw = kernel.shape
+    kflip = jnp.flip(kernel, (0, 1)).astype(x.dtype)
+
+    plan_y = _polyphase_plan(up_y, pad0, pad1, kh, h)
+    plan_x = _polyphase_plan(up_x, pad0, pad1, kw, w)
+    if plan_y is None or plan_x is None:
+        raise ValueError("polyphase up-kernel needs up-divisible output dims")
+    phases_y, ly, ry_, qh = plan_y
+    phases_x, lx, rx_, qw = plan_x
+
+    xpad = jnp.pad(x, ((0, 0), (ly, ry_), (lx, rx_), (0, 0)))
+    hp, wp = xpad.shape[1], xpad.shape[2]
+
+    def kernel_fn(x_ref, k_ref, o_ref):
+        for ry in range(up_y):
+            j0y, mty, by = phases_y[ry]
+            for rx in range(up_x):
+                j0x, mtx, bx = phases_x[rx]
+                acc = jnp.zeros((qh, qw, c), x_ref.dtype)
+                for my in range(mty):
+                    for mx in range(mtx):
+                        acc = acc + k_ref[j0y + my * up_y, j0x + mx * up_x] * \
+                            x_ref[0, pl.ds(ly + by + my, qh),
+                                  pl.ds(lx + bx + mx, qw), :]
+                o_ref[0, ry, rx] = acc
+
+    out = pl.pallas_call(
+        kernel_fn,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, hp, wp, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, up_y, up_x, qh, qw, c), lambda i: (i, 0, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, up_y, up_x, qh, qw, c), x.dtype),
+    )(xpad, kflip)
+    # interleave phases: (n, ry, rx, qh, qw, c) -> (n, qh, ry, qw, rx, c)
+    out = out.transpose(0, 3, 1, 4, 2, 5)
+    return out.reshape(n, qh * up_y, qw * up_x, c)
+
+
 from functools import partial
 
 
@@ -230,15 +316,47 @@ def _setup_kernel(k) -> jax.Array:
     return k / jnp.sum(k)
 
 
+def _pallas_up_viable(x, kernel, up, pad) -> bool:
+    """Polyphase Pallas up-kernel applicability: TPU, non-negative pads,
+    up-divisible output dims, and the per-image blocks fit VMEM (~16 MB;
+    we budget 8 MB for in+out+accumulator)."""
+    if jax.devices()[0].platform != "tpu":
+        return False
+    if min(pad) < 0:
+        return False
+    up_x, up_y = _parse2(up)
+    if up_x == 1 and up_y == 1:
+        return False
+    n, h, w, c = x.shape
+    kh, kw = kernel.shape
+    if _polyphase_plan(up_y, pad[0], pad[1], kh, h) is None:
+        return False
+    if _polyphase_plan(up_x, pad[0], pad[1], kw, w) is None:
+        return False
+    bytes_in = (h + kh) * (w + kw) * c * x.dtype.itemsize
+    bytes_out = up_y * up_x * h * w * c * x.dtype.itemsize
+    return bytes_in + 2 * bytes_out < 8 * 1024 * 1024
+
+
 def upsample_2d(x, k=None, factor=2, gain=1):
-    """FIR upsample (models/up_or_down_sampling.py:140-174 semantics), NHWC."""
+    """FIR upsample (models/up_or_down_sampling.py:140-174 semantics), NHWC.
+
+    Dispatch: XLA dilated depthwise conv by default; the polyphase Pallas
+    kernel (upfirdn2d_pallas_up) covers the up path where measured faster
+    (see RESULTS.md round-2 up-path measurements)."""
     if k is None:
         k = [1] * factor
     k = _setup_kernel(k) * (gain * (factor**2))
     p = k.shape[0] - factor
-    return upfirdn2d(
-        x, k, up=factor, pad=((p + 1) // 2 + factor - 1, p // 2)
-    )
+    pad = ((p + 1) // 2 + factor - 1, p // 2)
+    if _PALLAS_UP_DEFAULT and _pallas_up_viable(x, k, factor, pad):
+        return upfirdn2d_pallas_up(x, k, up=factor, pad=pad)
+    return upfirdn2d(x, k, up=factor, pad=pad)
+
+
+# flipped by the round-2 measurement (RESULTS.md): True when the polyphase
+# Pallas up-kernel beats the XLA dilated conv on NCSN++ shapes
+_PALLAS_UP_DEFAULT = False
 
 
 def downsample_2d(x, k=None, factor=2, gain=1):

@@ -140,3 +140,35 @@ def test_upfirdn2d_fused_gradient_matches_xla():
     g1 = jax.grad(f_fused)(x)
     g2 = jax.grad(f_xla)(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4)
+
+
+@pytest.mark.parametrize("factor,shape", [(2, (3, 8, 8, 5)), (4, (2, 8, 8, 3)),
+                                          (2, (1, 5, 7, 2))])
+def test_upfirdn2d_pallas_up_polyphase(factor, shape):
+    """Polyphase Pallas up-kernel == XLA dilated conv for the upsample_2d
+    pad scheme (the Mosaic-compilable up path; VERDICT r1 item 7)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from iddiff.kernels.upfirdn2d import _setup_kernel, upfirdn2d_pallas_up
+
+    k1 = [1.0] * factor if factor != 2 else [1.0, 3.0, 3.0, 1.0]
+    k = _setup_kernel(jnp.asarray(k1)) * (factor**2)
+    p = k.shape[0] - factor
+    pad = ((p + 1) // 2 + factor - 1, p // 2)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=shape).astype(np.float32)
+    )
+    want = upfirdn2d(x, k, up=factor, pad=pad)
+    with pltpu.force_tpu_interpret_mode():
+        got = upfirdn2d_pallas_up(x, k, up=factor, pad=pad)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_upfirdn2d_pallas_up_rejects_ragged():
+    from iddiff.kernels.upfirdn2d import upfirdn2d_pallas_up
+
+    x = jnp.ones((1, 8, 8, 2))
+    k = jnp.ones((4, 4)) / 16
+    with pytest.raises(ValueError, match="up-divisible"):
+        upfirdn2d_pallas_up(x, k, up=4, pad=(4, 1))

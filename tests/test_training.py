@@ -285,3 +285,33 @@ def test_spectrum_callback_cache_is_per_instance():
     a._cached = (lambda *args: None, (5, 2))
     assert b._cached is None
     assert "_cached" not in ScoreSpectrumVisualization.__dict__
+
+
+def test_run_lib_test_covers_full_split(tmp_path, monkeypatch):
+    """run_lib.test evaluates every sample of the test split by default —
+    ragged tails are padded, not skipped (VERDICT r1 item 5 done-criterion)."""
+    import iddiff.run_lib as run_lib
+
+    config = tiny_bubbles_config()
+    # 600 samples, split [.8,.1,.1] -> test split = 60; batch 64 -> one
+    # ragged batch of 60 (not divisible by the 8-way mesh)
+    seen = []
+    real_trainer = run_lib.Trainer
+
+    class SpyTrainer(real_trainer):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            real_step = self.eval_step
+
+            def spy(state, batch, rng):
+                seen.append(int(batch.shape[0]))
+                return real_step(state, batch, rng)
+
+            self.eval_step = spy
+
+    monkeypatch.setattr(run_lib, "Trainer", SpyTrainer)
+    result = run_lib.test(config, workdir=str(tmp_path / "t"))
+    assert np.isfinite(result["test_loss"])
+    n_test = 600 - int(0.8 * 600) - int(0.1 * 600)
+    assert sum(seen) >= n_test          # nothing dropped
+    assert all(s % 8 == 0 for s in seen)  # padded to the mesh
