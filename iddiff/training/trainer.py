@@ -83,6 +83,9 @@ def example_init_inputs(config, batch):
 
 class Trainer:
     def __init__(self, config, workdir: str, datamodule=None, mesh=None):
+        from iddiff.utils import enable_compile_cache
+
+        enable_compile_cache()
         self.config = config
         self.workdir = workdir
         self.datamodule = datamodule or create_datamodule(config)

@@ -62,8 +62,10 @@ def main(argv):
     # multi-host init (the reference's num_nodes/DDP launch, run_lib.py:57-60)
     # — must run before any mesh construction; no-op single-process
     from iddiff.parallel import maybe_initialize_distributed
+    from iddiff.utils import enable_compile_cache
 
     maybe_initialize_distributed(config)
+    enable_compile_cache()
 
     mode = FLAGS.mode
     if mode == "train":
