@@ -143,8 +143,6 @@ class ArrayDataModule:
         # must keep their python path
         plain_loader = type(self)._loader is ArrayDataModule._loader and \
             type(self).train_dataloader is ArrayDataModule.train_dataloader
-        if self.num_shards > 1:
-            plain_loader = False  # native loader has no shard support yet
         if use_native in (True, "auto") and plain_array and plain_loader:
             cached = getattr(self, "_native_train_iter", None)
             if cached is not None:
@@ -156,6 +154,8 @@ class ArrayDataModule:
                     self._native_train_iter = NativeEpochIterator(
                         self.train_data, self.train_batch, shuffle=True,
                         seed=self.seed + 1, drop_last=True,
+                        shard_index=self.shard_index,
+                        num_shards=self.num_shards,
                     )
                     return self._native_train_iter
             except Exception:

@@ -47,6 +47,9 @@ def _load():
             ctypes.c_long, ctypes.c_int, ctypes.c_int,
         ]
         lib.loader_start_epoch.argtypes = [ctypes.c_void_p, ctypes.c_ulonglong]
+        lib.loader_set_shard.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+        ]
         lib.loader_next.restype = ctypes.c_long
         lib.loader_next.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float))
@@ -71,7 +74,8 @@ class NativeEpochIterator:
     next batch is assembled while the device executes the current step."""
 
     def __init__(self, array: np.ndarray, batch_size: int, shuffle: bool,
-                 seed: int = 0, drop_last: bool = True, num_slots: int = 3):
+                 seed: int = 0, drop_last: bool = True, num_slots: int = 3,
+                 shard_index: int = 0, num_shards: int = 1):
         self.array = np.ascontiguousarray(array, dtype=np.float32)
         self.item_shape = self.array.shape[1:]
         self.item_floats = int(np.prod(self.item_shape)) if self.item_shape else 1
@@ -89,6 +93,12 @@ class NativeEpochIterator:
             1 if drop_last else 0, num_slots,
         )
         self._lib = lib
+        self.shard_index = int(shard_index)
+        self.num_shards = max(int(num_shards), 1)
+        if self.num_shards > 1:
+            lib.loader_set_shard(self._handle, self.shard_index,
+                                 self.num_shards)
+            self.n = self.n // self.num_shards  # rows per host per epoch
 
     def __len__(self):
         if self.drop_last:

@@ -31,9 +31,12 @@ struct Slot {
 struct Loader {
   const float* data = nullptr;   // (n, item_floats), row-major, borrowed
   long n = 0;
+  long n_eff = 0;                // rows this shard iterates per epoch
   long item_floats = 0;
   long batch = 0;
   bool drop_last = true;
+  long shard_index = 0;          // per-host sharding (DistributedSampler
+  long num_shards = 1;           // equivalent): disjoint stride of the perm
 
   std::vector<long> perm;
   std::vector<Slot> slots;
@@ -64,7 +67,7 @@ struct Loader {
       lk.unlock();
 
       long start = b * batch;
-      long rows = std::min(batch, n - start);
+      long rows = std::min(batch, n_eff - start);
       float* dst = slot.buf.data();
       for (long r = 0; r < rows; ++r) {
         std::memcpy(dst + r * item_floats,
@@ -92,11 +95,22 @@ void* loader_create(const float* data, long n, long item_floats, long batch,
   L->batch = batch;
   L->drop_last = drop_last != 0;
   L->perm.resize(n);
+  L->n_eff = n;
   int slots = num_slots < 2 ? 2 : num_slots;
   L->slots.resize(slots);
   for (auto& s : L->slots) s.buf.resize((size_t)batch * item_floats);
   L->producer = std::thread([L] { L->fill_loop(); });
   return L;
+}
+
+// Per-host sharding: every host runs the same seeded permutation, then
+// iterates the disjoint stride perm[shard_index::num_shards], truncated to a
+// multiple of num_shards so all hosts see identical batch counts (lockstep).
+void loader_set_shard(void* h, long shard_index, long num_shards) {
+  auto* L = static_cast<Loader*>(h);
+  std::unique_lock<std::mutex> lk(L->mu);
+  L->shard_index = shard_index;
+  L->num_shards = num_shards < 1 ? 1 : num_shards;
 }
 
 // Start a new epoch: seeded permutation (seed==0 -> identity order).
@@ -111,8 +125,15 @@ void loader_start_epoch(void* h, unsigned long long seed) {
       std::swap(L->perm[i], L->perm[j]);
     }
   }
-  long full = L->n / L->batch;
-  L->num_batches = L->drop_last ? full : (L->n + L->batch - 1) / L->batch;
+  L->n_eff = L->n;
+  if (L->num_shards > 1) {
+    L->n_eff = L->n / L->num_shards;  // truncate to a shardable multiple
+    for (long i = 0; i < L->n_eff; ++i)
+      L->perm[i] = L->perm[L->shard_index + i * L->num_shards];
+  }
+  long full = L->n_eff / L->batch;
+  L->num_batches =
+      L->drop_last ? full : (L->n_eff + L->batch - 1) / L->batch;
   L->next_batch_to_fill = 0;
   L->next_batch_to_read = 0;
   for (auto& s : L->slots) {

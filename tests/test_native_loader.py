@@ -71,3 +71,26 @@ def test_datamodule_uses_native_loader():
     assert sum(len(b) for b in batches) == 80
     # same loader object reused (threads persist across epochs)
     assert dm.train_dataloader() is loader
+
+
+def test_native_loader_per_host_shards():
+    """Native loader sharding: disjoint per-host rows, identical batch
+    counts, union covers the truncated epoch (multi-host lockstep)."""
+    from iddiff.native import NativeEpochIterator, native_available
+
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    data = np.arange(101, dtype=np.float32).reshape(101, 1)
+    hosts = [
+        NativeEpochIterator(data, batch_size=10, shuffle=True, seed=7,
+                            drop_last=False, shard_index=i, num_shards=2)
+        for i in range(2)
+    ]
+    rows = [np.concatenate(list(h)).ravel() for h in hosts]
+    assert len(rows[0]) == len(rows[1]) == 50  # 101 -> truncated to 100 -> 50
+    s0, s1 = set(rows[0].tolist()), set(rows[1].tolist())
+    assert not (s0 & s1)
+    assert len(s0 | s1) == 100
+    # same seed => same global permutation: re-iterating gives a NEW epoch
+    rows2 = np.concatenate(list(hosts[0])).ravel()
+    assert set(rows2.tolist()) & s1 != set()  # epochs reshuffle across shards
