@@ -221,8 +221,12 @@ def _bench_image_id():
     t_ref = time.perf_counter() - t0
 
     # ---- iddiff estimator ----
+    # same K samples as the reference formula, collected at a TPU-friendly
+    # compute batch (id/estimator.py compute_batch_size; iid either way)
+    B_c = int(os.environ.get("IDDIFF_BENCH_IMAGE_COMPUTE_BATCH", "256"))
     fn, K2 = make_spectra_fn(
-        sde, model, data_shape=(32, 32, 1), batch_size=B, t=eps
+        sde, model, data_shape=(32, 32, 1), batch_size=B, t=eps,
+        compute_batch_size=B_c,
     )
     dev = jnp.asarray(data)
     _sync(fn(jax.random.PRNGKey(2), params, dev))

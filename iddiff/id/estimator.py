@@ -90,18 +90,31 @@ def score_spectrum_fn(sde, score_fn, *, data_shape, batch_size: int,
 
 
 def make_spectra_fn(sde, model, *, data_shape, batch_size: int, t: float,
-                    mesh=None, continuous: bool = True):
+                    mesh=None, continuous: bool = True,
+                    compute_batch_size: int | None = None):
     """Build a REUSABLE jitted `fn(rng, params, datapoints) -> (P, d) spectra`.
 
     Params are a traced argument (not a baked-in constant), so EMA swaps and
     repeated calls hit the same compiled executable — this is the production
     entry point for the in-training ID hook and the benchmark.  When `mesh`
     is given, the datapoint axis is sharded over its 'data' axis.
+
+    `compute_batch_size` decouples HOW the K score samples are batched from
+    the reference's K formula: K is always num_score_batches(d, batch_size)
+    — bit-parity with dim_reduction.py:169-171 — but the device collects
+    them in ceil(K / compute_batch_size) forwards.  The K samples are iid
+    either way (identical statistics); a larger compute batch keeps the MXU
+    fuller per launch on TPU.
     """
     from iddiff.models import get_score_fn
 
     d = int(math.prod(data_shape))
     num_batches, extra, K = num_score_batches(d, batch_size)
+    if compute_batch_size is not None and compute_batch_size != batch_size:
+        B_c = int(compute_batch_size)
+        num_batches = -(-K // B_c)  # ceil
+        extra = K - (num_batches - 1) * B_c
+        batch_size = B_c
 
     def spectra(rng, params, datapoints):
         score_fn = get_score_fn(sde, model, params, train=False,

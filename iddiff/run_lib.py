@@ -116,6 +116,8 @@ def get_manifold_dimension(config, workdir: str | None = None, name: str = None,
     spectra_fn, K = make_spectra_fn(
         sde, model, data_shape=data.shape[1:], batch_size=est_batch,
         t=sampling_eps, mesh=use_mesh,
+        compute_batch_size=(de.get("compute_batch_size", None)
+                            if de is not None else None),
     )
     # NOTE: make_spectra_fn builds its own score_fn from (model, params);
     # the oracle/checkpoint params restored above are passed per call.

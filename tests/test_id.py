@@ -225,3 +225,35 @@ def test_manifold_dimension_chunked_padding(tmp_path):
     dims = run_lib.get_manifold_dimension(c)
     assert len(dims) == 5
     assert int(np.median(dims)) == k, dims
+
+
+def test_compute_batch_size_same_K_same_dims():
+    """compute_batch_size re-batches the SAME K samples: K matches the
+    reference formula exactly and the oracle still reads exact k."""
+    from iddiff.data.ksphere import generate_ksphere
+    from iddiff.id import make_spectra_fn
+
+    k, d = 4, 36
+    config = ml_collections.ConfigDict()
+    config.model = ml_collections.ConfigDict({"name": "ksphere_gt_exact"})
+    config.data = ml_collections.ConfigDict({
+        "manifold_dim": k, "ambient_dim": d, "embedding_type": "first",
+    })
+    model = create_model(config)
+    sde = VESDE(sigma_min=1e-2, sigma_max=4.0, N=100)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.ones((2, d)), jnp.ones((2,))
+    )["params"]
+    data = jnp.asarray(generate_ksphere(
+        n_samples=3, n_spheres=1, ambient_dim=d, manifold_dim=k,
+        noise_std=0.0, embedding_type="first", seed=5,
+    ))
+    fn_a, K_a = make_spectra_fn(sde, model, data_shape=(d,), batch_size=20,
+                                t=1e-5)
+    fn_b, K_b = make_spectra_fn(sde, model, data_shape=(d,), batch_size=20,
+                                t=1e-5, compute_batch_size=64)
+    assert K_a == K_b  # the reference K formula is untouched
+    dims_a = dims_from_spectra(np.asarray(fn_a(jax.random.PRNGKey(1), params, data)))
+    dims_b = dims_from_spectra(np.asarray(fn_b(jax.random.PRNGKey(2), params, data)))
+    assert np.median(dims_a) == k
+    assert np.median(dims_b) == k
