@@ -167,3 +167,49 @@ def test_perceptual_distance_fallback():
     out = perceptual_distance(a, a)
     key = next(iter(out))
     assert out[key] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_plot_helpers_produce_figures():
+    """Figure builders (analysis/plots.py) run headless without error and
+    return matplotlib figures; extract_sing_vals handles all three modes
+    (plot_utils.py:197-205 parity)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from iddiff.analysis.plots import (
+        dims_histogram_figure,
+        extract_sing_vals,
+        image_grid,
+        quiver_figure,
+        scatter_figure,
+        spectrum_figure,
+    )
+
+    rng = np.random.default_rng(0)
+    spectra = np.sort(rng.uniform(1, 100, size=(4, 20)))[:, ::-1]
+    svd = {"singular_values": [list(map(float, s)) for s in spectra]}
+    # modes return a LIST of spectra (plot_utils.py:197-205 semantics)
+    assert extract_sing_vals(svd, "first").shape == (1, 20)
+    assert extract_sing_vals(svd, "mean").shape == (1, 20)
+    assert extract_sing_vals(svd, "all").shape == (4, 20)
+    fig = spectrum_figure(spectra, ground_truth=5)
+    assert fig.axes, "empty figure"
+    assert dims_histogram_figure(spectra).axes
+    grid = image_grid(rng.uniform(size=(8, 16, 16, 1)))
+    assert grid.ndim == 3 and grid.shape[-1] in (1, 3)
+    assert scatter_figure(rng.normal(size=(64, 2)),
+                          rng.normal(size=(64, 2))).axes
+    pts = rng.normal(size=(25, 2))
+    assert quiver_figure(pts, rng.normal(size=(25, 2)), 5).axes
+
+
+def test_compile_cache_enable(tmp_path, monkeypatch):
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "cc"))
+    from iddiff.utils import enable_compile_cache
+
+    assert enable_compile_cache() is True
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
+    monkeypatch.setenv("IDDIFF_NO_COMPILE_CACHE", "1")
+    assert enable_compile_cache() is False
