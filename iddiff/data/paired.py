@@ -103,6 +103,44 @@ class LRHRPKLDataModule(_PairedMixin, ArrayDataModule):
         return arr
 
 
+
+# SRFLOW dataset-name -> pickle filename mapping (get_exact_paths,
+# SRFLOWDataset.py:16-48).  The rebuild trains from a single array split by
+# fractions, so 'train' files are the default; pass phase to point at the
+# reference's val/test pickles explicitly.
+_SRFLOW_FILES = {
+    "DF2K": {
+        "train": ("DF2K-tr_X4.pklv4", "DF2K-tr.pklv4"),
+        "val": ("DIV2K-va_X4.pklv4", "DIV2K-va.pklv4"),
+        "test": ("DIV2K-teFullMod8_X4.pklv4", "DIV2K-teFullMod8.pklv4"),
+    },
+    "celebA-HQ-160": {
+        "train": ("CelebAHq_160_MBic_tr_X8.pklv4", "CelebAHq_160_MBic_tr.pklv4"),
+        "val": ("CelebAHq_160_MBic_va_X8.pklv4", "CelebAHq_160_MBic_va.pklv4"),
+        "test": ("CelebAHq_160_MBic_va_X8.pklv4", "CelebAHq_160_MBic_va.pklv4"),
+    },
+}
+_SRFLOW_FILES["celeba"] = _SRFLOW_FILES["celebA-HQ-160"]
+
+
+def resolve_pkl_path(config, phase: str = "train", which: str = "GT") -> str:
+    """hr/lr pickle path: explicit data.hr_path/lr_path wins; otherwise the
+    reference's base_dir + dataset-name mapping (SRFLOWDataset.py:16-48)."""
+    d = config.data
+    explicit = d.get("hr_path" if which == "GT" else "lr_path", None)
+    if explicit:
+        return explicit
+    name = d.get("dataset", None)
+    base = d.get("base_dir", None)
+    if name not in _SRFLOW_FILES or not base:
+        raise NotImplementedError(
+            f"set data.hr_path, or data.base_dir + data.dataset in "
+            f"{sorted(_SRFLOW_FILES)} (got dataset={name!r})"
+        )
+    lq, gt = _SRFLOW_FILES[name][phase]
+    return os.path.join(base, name, gt if which == "GT" else lq)
+
+
 def _load_pkl_array(path: str) -> np.ndarray:
     """HR crops from a SRFLOW .pklv4 pickle (list of HWC uint8 arrays) or a
     .npy/.npz; returns float32 NHWC in [0,1] (SRFLOWDataset.py:58-66)."""
@@ -148,7 +186,7 @@ class HaarPKLDataModule(ArrayDataModule):
     DWT of nn/haar.py, vectorized over the whole array once at setup."""
 
     def generate(self, config):
-        return _load_pkl_array(config.data.hr_path)
+        return _load_pkl_array(resolve_pkl_path(config))
 
     def _haar_pair(self, hr):
         import jax.numpy as jnp
@@ -195,7 +233,7 @@ class GeneralPKLDataModule(ArrayDataModule):
     per-item in __getitem__)."""
 
     def generate(self, config):
-        arr = _load_pkl_array(config.data.hr_path)
+        arr = _load_pkl_array(resolve_pkl_path(config))
         size = int(config.data.image_size)
         if arr.shape[1] != size:
             arr = _bicubic_resize(arr, size)
@@ -248,7 +286,7 @@ class UnpairedPKLDataModule(ArrayDataModule):
     (PKLDataset, SRFLOWDataset.py:50-77 + registration :493-519)."""
 
     def generate(self, config):
-        arr = _load_pkl_array(config.data.hr_path)
+        arr = _load_pkl_array(resolve_pkl_path(config))
         size = int(config.data.image_size)
         if arr.shape[1] != size:
             arr = _bicubic_resize(arr, size)

@@ -210,3 +210,24 @@ def test_pkl_reference_registry_aliases():
     for name in ["LRHR_PKLDataset", "Haar_PKLDataset", "General_PKLDataset",
                  "unpaired_PKLDataset"]:
         assert name in DATAMODULES
+
+
+def test_resolve_pkl_path_reference_mapping(tmp_path):
+    """get_exact_paths parity (SRFLOWDataset.py:16-48)."""
+    from iddiff.data.paired import resolve_pkl_path
+
+    c = ml_collections.ConfigDict()
+    c.data = ml_collections.ConfigDict(dict(base_dir="/data", dataset="DF2K"))
+    assert resolve_pkl_path(c, "train", "GT") == "/data/DF2K/DF2K-tr.pklv4"
+    assert resolve_pkl_path(c, "val", "LQ") == "/data/DF2K/DIV2K-va_X4.pklv4"
+    c.data.dataset = "celeba"
+    assert resolve_pkl_path(c, "test", "GT").endswith(
+        "CelebAHq_160_MBic_va.pklv4")
+    # explicit path wins
+    c.data.hr_path = str(tmp_path / "x.pkl")
+    assert resolve_pkl_path(c) == str(tmp_path / "x.pkl")
+    # unknown dataset without explicit path -> clear error
+    c2 = ml_collections.ConfigDict()
+    c2.data = ml_collections.ConfigDict(dict(dataset="nope"))
+    with pytest.raises(NotImplementedError):
+        resolve_pkl_path(c2)
