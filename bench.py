@@ -58,7 +58,7 @@ def main():
 
     from iddiff.configs.dimension_estimation.ksphere import ksphere_config
     from iddiff.data.ksphere import generate_ksphere
-    from iddiff.id import collect_spectra, num_score_batches
+    from iddiff.id import num_score_batches
     from iddiff.models import create_model, get_score_fn
     from iddiff.sde import get_sde
     from iddiff.utils import batch_mul

@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from iddiff.kernels import upfirdn2d, upsample_2d, downsample_2d
+from iddiff.kernels import upsample_2d, downsample_2d
 
 
 def get_act(config):

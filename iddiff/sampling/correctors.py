@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from iddiff.sde import VESDE, VPSDE, SubVPSDE, CVESDE
+from iddiff.sde import VPSDE, SubVPSDE
 from iddiff.utils import Registry, batch_mul, flatten_batch
 
 CORRECTORS = Registry("corrector")

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from iddiff.utils import Registry, batch_mul, flatten_batch
+from iddiff.utils import Registry, flatten_batch
 
 logger = logging.getLogger("iddiff.callbacks")
 
