@@ -1,13 +1,24 @@
 """Sampling-fn dispatch (rebuild of /root/reference/sampling/unconditional.py:13-49)."""
 from __future__ import annotations
 
+from .dpm import get_dpm_solver_sampler
 from .ode import get_ode_sampler
 from .pc import get_pc_sampler
 
 
 def get_sampling_fn(config, sde, model, shape, eps):
-    """config.sampling.method: 'ode' | 'pc' → sampler(rng, params)."""
+    """config.sampling.method: 'ode' | 'pc' | 'dpm' → sampler(rng, params)."""
     method = config.sampling.method.lower()
+    if method in ("dpm", "dpm_solver", "dpm++"):
+        # beyond-reference fast path: DPM-Solver++(2M), sampling/dpm.py
+        return get_dpm_solver_sampler(
+            sde, model, shape,
+            steps=int(config.sampling.get("steps", 25)),
+            eps=eps,
+            continuous=config.training.continuous,
+            time_spacing=config.sampling.get("time_spacing", "logsnr"),
+            denoise=config.sampling.noise_removal,
+        )
     if method == "ode":
         return get_ode_sampler(
             sde, model, shape,
@@ -28,4 +39,6 @@ def get_sampling_fn(config, sde, model, shape, eps):
             eps=eps,
             return_evolution=config.training.get("show_evolution", False),
         )
-    raise ValueError(f"Sampler method '{method}' unknown (expected 'ode'|'pc')")
+    raise ValueError(
+        f"Sampler method '{method}' unknown (expected 'ode'|'pc'|'dpm')"
+    )

@@ -205,3 +205,108 @@ def test_factory_dispatch():
     fn = get_sampling_fn(config, sde, model, (8, 10), eps=1e-5)
     x = fn(jax.random.PRNGKey(7), params)
     assert x.shape == (8, 10)
+
+
+class _AnalyticGaussianScore:
+    """score of N(0, a² I) diffused under VESDE: s(x,t) = -x/(a²+σ(t)²)."""
+
+
+def test_dpm_solver_gaussian_ve():
+    """DPM-Solver++(2M) with the analytic VE Gaussian score recovers the
+    target distribution in 20 evals (PC needs sde.N=1000)."""
+    import ml_collections
+
+    from iddiff.sampling.dpm import get_dpm_solver_sampler
+    from iddiff.sde import VESDE
+
+    a = 0.7
+    d = 16
+    sde = VESDE(sigma_min=1e-3, sigma_max=20.0, N=1000)
+
+    class GaussModel:
+        config = None
+
+        def init(self, *args, **kw):
+            return {"params": {}}
+
+        def apply(self, variables, x, labels, train=False, **kw):
+            # the net receives labels = t·(N-1); VE convention is
+            # score = -model/σ (score_fn.py:166-173) => model = -σ·score
+            t = labels / (sde.N - 1)
+            sigma = sde.marginal_prob(jnp.zeros_like(t), t)[1]
+            score = -x / (a**2 + sigma[:, None] ** 2)
+            return -score * sigma[:, None]
+
+    sampler = get_dpm_solver_sampler(
+        sde, GaussModel(), (4096, d), steps=20, eps=1e-3
+    )
+    x = np.asarray(sampler(jax.random.PRNGKey(0), {}))
+    assert x.shape == (4096, d)
+    # target: N(0, (a² + eps-level σ²) I) ≈ N(0, a² I)
+    std = x.std()
+    assert abs(std - a) < 0.05, std
+    assert abs(x.mean()) < 0.05
+
+
+def test_dpm_solver_gaussian_vp():
+    """Same check under VPSDE (α_t ≠ 1 exercises the full update)."""
+    from iddiff.sampling.dpm import get_dpm_solver_sampler
+    from iddiff.sde import VPSDE
+
+    a = 1.0  # unit Gaussian data: diffused marginal stays N(0, I)
+    d = 8
+    sde = VPSDE(beta_min=0.1, beta_max=20.0, N=1000)
+
+    class GaussModel:
+        config = None
+
+        def init(self, *a_, **kw):
+            return {"params": {}}
+
+        def apply(self, variables, x, labels, train=False, **kw):
+            # marginal: N(0, (α²a² + σ²) I); score = -x / (α²a² + σ²).
+            # VP convention: score = -model/std => model = -std·score
+            t = labels / (sde.N - 1)
+            alpha, sigma = sde.marginal_prob(jnp.ones_like(x), t)
+            var = alpha[:, :1] ** 2 * a**2 + sigma[:, None] ** 2
+            score = -x / var
+            return -score * sigma[:, None]
+
+    sampler = get_dpm_solver_sampler(
+        sde, GaussModel(), (4096, d), steps=20, eps=1e-3
+    )
+    x = np.asarray(sampler(jax.random.PRNGKey(1), {}))
+    assert abs(x.std() - 1.0) < 0.06, x.std()
+    assert abs(x.mean()) < 0.06
+
+
+def test_dpm_from_factory():
+    import ml_collections
+
+    from iddiff.sampling import get_sampling_fn
+    from iddiff.sde import get_sde
+
+    c = ml_collections.ConfigDict()
+    c.training = ml_collections.ConfigDict(
+        {"sde": "vesde", "continuous": True}
+    )
+    c.model = ml_collections.ConfigDict(
+        {"name": "fcn", "state_size": 4, "hidden_layers": 1,
+         "hidden_nodes": 16, "dropout": 0.0, "sigma_min": 1e-2,
+         "sigma_max": 5.0, "num_scales": 100, "scale_by_sigma": True}
+    )
+    c.sampling = ml_collections.ConfigDict(
+        {"method": "dpm", "steps": 8, "noise_removal": True}
+    )
+    c.data = ml_collections.ConfigDict({"use_data_mean": False})
+    from iddiff.models import create_model
+    from iddiff.sde import get_sde
+
+    sde, eps = get_sde(c)
+    model = create_model(c)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((2, 4)),
+                        jnp.zeros((2,)))["params"]
+    fn = get_sampling_fn(c, sde, model, (16, 4), eps)
+    out = fn(jax.random.PRNGKey(1), params)
+    assert np.asarray(out).shape == (16, 4)
+    assert np.isfinite(np.asarray(out)).all()
