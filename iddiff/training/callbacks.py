@@ -66,10 +66,13 @@ class ScoreSpectrumVisualization(Callback):
         if data.shape[0] % mesh.shape["data"] != 0:
             mesh = None  # too few points to shard evenly — run replicated
         if self._cached is None or self._cached[1] != data.shape:
+            de = cfg.get("dim_estimation", None)
             fn, _ = make_spectra_fn(
                 trainer.sde, trainer.model, data_shape=data.shape[1:],
                 batch_size=cfg.training.batch_size, t=trainer.sampling_eps,
                 mesh=mesh,
+                compute_batch_size=(de.get("compute_batch_size", None)
+                                    if de is not None else None),
             )
             self._cached = (fn, data.shape)
         spectra = self._cached[0](
