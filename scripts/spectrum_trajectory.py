@@ -1,0 +1,52 @@
+"""Track the ID read-out and the cliff geometry across training.
+
+Reads the in-training spectra pickles (logging.save_svd=True writes
+<workdir>/svd/epoch_<E>.pkl) and prints, per checkpoint:
+  - per-point dims (softmax-gap rule, identical to plot_utils.py:173-183)
+  - the "separating" singular value s_{d-k-1} vs the manifold cluster mean
+    — the 11->10 crossing of the paper's image experiments is visible as
+    this value leaving the cluster and joining the large (normal) group.
+
+Usage: python scripts/spectrum_trajectory.py <workdir> [truth_k]
+"""
+import glob
+import os
+import pickle
+import re
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from iddiff.id import dims_from_spectra  # noqa: E402
+
+
+def main():
+    workdir = sys.argv[1]
+    truth = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    files = glob.glob(os.path.join(workdir, "svd", "epoch_*.pkl"))
+    files.sort(key=lambda p: int(re.search(r"epoch_(\d+)", p).group(1)))
+    if not files:
+        print(f"no spectra under {workdir}/svd")
+        return
+    for f in files:
+        with open(f, "rb") as fh:
+            svd = pickle.load(fh)
+        s = np.asarray(svd["singular_values"])
+        dims = dims_from_spectra(s)
+        d = s.shape[1]
+        k = truth if truth is not None else int(np.median(dims))
+        sep = s[:, d - k - 1]            # the candidate (k+1)-th direction
+        cluster = s[:, d - k:].mean(1)   # mean of the k manifold values
+        big = s[:, d - k - 2]            # smallest of the 'large' group
+        epoch = re.search(r"epoch_(\d+)", f).group(1)
+        print(
+            f"epoch {epoch:>5}: dims={[int(v) for v in dims]} "
+            f"median={np.median(dims):.0f}"
+            f"  sep/cluster={float((sep / cluster).mean()):6.2f}"
+            f"  sep/next-large={float((sep / big).mean()):5.2f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
