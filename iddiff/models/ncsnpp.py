@@ -84,16 +84,22 @@ class NCSNpp(nn.Module):
         if not config.data.get("centered", False):
             x = 2 * x - 1.0
 
+        ddpm_cls, biggan_cls = ResnetBlockDDPM, ResnetBlockBigGAN
+        if m.get("remat", False):
+            # rematerialize resblocks in the backward pass (trade FLOPs for
+            # activation memory on big configs); train (argnum 3) is static
+            ddpm_cls = nn.remat(ResnetBlockDDPM, static_argnums=(3,))
+            biggan_cls = nn.remat(ResnetBlockBigGAN, static_argnums=(3,))
         if resblock_type == "ddpm":
             def res_block(out_ch=None, up=False, down=False):
                 assert not (up or down)
-                return ResnetBlockDDPM(
+                return ddpm_cls(
                     act=act, out_ch=out_ch, dropout=dropout,
                     skip_rescale=skip_rescale, init_scale=init_scale,
                 )
         elif resblock_type == "biggan":
             def res_block(out_ch=None, up=False, down=False):
-                return ResnetBlockBigGAN(
+                return biggan_cls(
                     act=act, out_ch=out_ch, up=up, down=down,
                     dropout=dropout, fir=fir, fir_kernel=fir_kernel,
                     skip_rescale=skip_rescale, init_scale=init_scale,
@@ -110,7 +116,7 @@ class NCSNpp(nn.Module):
         hs = [conv3x3(nf)(x)]
         for i_level in range(num_resolutions):
             for _ in range(num_res_blocks):
-                h = res_block(nf * ch_mult[i_level])(hs[-1], temb, train=train)
+                h = res_block(nf * ch_mult[i_level])(hs[-1], temb, train)
                 if all_resolutions[i_level] in attn_resolutions:
                     h = attn()(h)
                 hs.append(h)
@@ -119,7 +125,7 @@ class NCSNpp(nn.Module):
                     h = Downsample(with_conv=resamp_with_conv, fir=fir,
                                    fir_kernel=fir_kernel)(hs[-1])
                 else:
-                    h = res_block(down=True)(hs[-1], temb, train=train)
+                    h = res_block(down=True)(hs[-1], temb, train)
                 if progressive_input == "input_skip":
                     input_pyramid = Downsample(with_conv=False, fir=fir,
                                                fir_kernel=fir_kernel)(
@@ -142,16 +148,16 @@ class NCSNpp(nn.Module):
 
         # --- middle (ncsnpp.py:311-317) ---
         h = hs[-1]
-        h = res_block()(h, temb, train=train)
+        h = res_block()(h, temb, train)
         h = attn()(h)
-        h = res_block()(h, temb, train=train)
+        h = res_block()(h, temb, train)
 
         # --- up path with progressive output (ncsnpp.py:321-372) ---
         pyramid = None
         for i_level in reversed(range(num_resolutions)):
             for _ in range(num_res_blocks + 1):
                 h = res_block(nf * ch_mult[i_level])(
-                    jnp.concatenate([h, hs.pop()], axis=-1), temb, train=train
+                    jnp.concatenate([h, hs.pop()], axis=-1), temb, train
                 )
             if all_resolutions[i_level] in attn_resolutions:
                 h = attn()(h)
@@ -190,7 +196,7 @@ class NCSNpp(nn.Module):
                     h = Upsample(with_conv=resamp_with_conv, fir=fir,
                                  fir_kernel=fir_kernel)(h)
                 else:
-                    h = res_block(up=True)(h, temb, train=train)
+                    h = res_block(up=True)(h, temb, train)
         assert not hs
 
         if progressive == "output_skip":

@@ -244,7 +244,8 @@ class ResnetBlockBigGAN(nn.Module):
         return h
 
     @nn.compact
-    def __call__(self, x, temb=None, *, train: bool = False):
+    def __call__(self, x, temb=None, train: bool = False):
+        # `train` positional-able so nn.remat can mark it static
         C = x.shape[-1]
         out_ch = self.out_ch or C
         h = self.act(nn.GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-6)(x))
