@@ -28,19 +28,9 @@ import numpy as np
 
 
 def _enable_compile_cache():
-    """Persistent XLA compilation cache: repeated bench/train runs on this
-    host skip the multi-minute U-Net compiles (first run populates it)."""
-    import jax
+    from iddiff.utils import enable_compile_cache
 
-    cache = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR", "/root/.cache/iddiff_xla"
-    )
-    try:
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    enable_compile_cache()
 
 
 def _sync(x):

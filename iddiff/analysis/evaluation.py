@@ -43,7 +43,9 @@ def ssim(a, b, data_range: float | None = None) -> float:
         data_range = max(a.max() - a.min(), 1e-8)
     C1 = (0.01 * data_range) ** 2
     C2 = (0.03 * data_range) ** 2
-    win = _gaussian_window()
+    # window never larger than the image (an 11x11 'valid' conv on a
+    # smaller image would yield an empty array -> NaN)
+    win = _gaussian_window(size=min(11, a.shape[0], a.shape[1]))
     vals = []
     for c in range(a.shape[-1]):
         x, y = a[..., c], b[..., c]
@@ -88,6 +90,9 @@ def ms_ssim(a, b, data_range: float | None = None, weights=None) -> float:
     # keep only as many scales as the image supports (win=11 after pooling)
     n_scales = len(weights)
     min_side = min(a.shape[0], a.shape[1])
+    if min_side < 11:
+        # too small for the 11x11 window even at scale 0: plain SSIM
+        return ssim(a, b, data_range)
     while n_scales > 1 and min_side // (2 ** (n_scales - 1)) < 11:
         n_scales -= 1
     weights = np.asarray(weights[:n_scales])

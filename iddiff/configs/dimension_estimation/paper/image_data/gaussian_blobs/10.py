@@ -1,16 +1,11 @@
-"""Reference-path alias, full paper budget (gaussian_blobs/10; see squares/10.py)."""
-import importlib.util
-import os
-
-_spec = importlib.util.spec_from_file_location(
-    "squares10_paper",
-    os.path.join(os.path.dirname(__file__), "..", "squares", "10.py"),
+"""Reference-path alias at FULL paper budget (gaussian_blobs/10;
+parity: /root/reference/configs/dimension_estimation/paper/image_data/
+gaussian_blobs/10.py)."""
+from iddiff.configs.dimension_estimation.squares import (
+    paper_budget,
+    squares_config,
 )
-_mod = importlib.util.module_from_spec(_spec)
-_spec.loader.exec_module(_mod)
-
-from iddiff.configs.dimension_estimation.squares import squares_config
 
 
 def get_config():
-    return _mod.paper_budget(squares_config(10, kind="blobs"))
+    return paper_budget(squares_config(10, kind="blobs"))

@@ -1,15 +1,11 @@
-"""Reference-path alias, full paper budget (see squares/10.py docstring)."""
-import importlib.util
-import os
-
-_spec = importlib.util.spec_from_file_location(
-    "squares10_paper", os.path.join(os.path.dirname(__file__), "10.py")
+"""Reference-path alias at FULL paper budget (squares/100;
+parity: /root/reference/configs/dimension_estimation/paper/image_data/
+squares/100.py)."""
+from iddiff.configs.dimension_estimation.squares import (
+    paper_budget,
+    squares_config,
 )
-_mod = importlib.util.module_from_spec(_spec)
-_spec.loader.exec_module(_mod)
-
-from iddiff.configs.dimension_estimation.squares import squares_config
 
 
 def get_config():
-    return _mod.paper_budget(squares_config(100, kind="squares"))
+    return paper_budget(squares_config(100, kind="squares"))

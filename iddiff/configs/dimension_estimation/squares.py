@@ -72,3 +72,22 @@ def get_config(variant: str = "10"):
     if variant.startswith("blobs_"):
         return squares_config(int(variant.split("_")[1]), kind="blobs")
     return squares_config(int(variant), kind="squares")
+
+
+def paper_budget(config):
+    """Full paper-budget overrides (reference configs/dimension_estimation/
+    paper/image_data/squares/10.py:29-157): nf=128, ch_mult (1,2,2,2),
+    4 res blocks, dropout 0.1, VESDE sigma_max 50, 500k samples."""
+    config.data.data_samples = 500_000
+    config.model.ch_mult = [1, 2, 2, 2]
+    config.model.num_res_blocks = 4
+    config.model.dropout = 0.1
+    config.model.sigma_max = 50.0
+    config.model.ema_rate = 0.999
+    config.training.n_iters = 2_500_000
+    config.training.num_epochs = 10_000
+    config.optim.warmup = 5_000
+    config.optim.grad_clip = 1.0
+    config.logging.svd_points = 5
+    config.logging.svd_frequency = 50
+    return config

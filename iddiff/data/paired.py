@@ -215,7 +215,14 @@ class HaarPKLDataModule(ArrayDataModule):
         raise NotImplementedError(f"Mapping <<{mapping}>> is not supported")
 
     def _loader(self, data, labels, batch, shuffle, seed, drop_last=False):
-        y, x = self._haar_pair(data)
+        # cache the transformed pair per split: the Haar DWT/resize of the
+        # full split is static, and train/val loaders are rebuilt per epoch
+        cache = getattr(self, "_pair_cache", None) or {}
+        key = id(data)
+        if key not in cache:
+            cache[key] = self._haar_pair(data)
+            self._pair_cache = cache
+        y, x = cache[key]
         return EpochIterator((y, x), batch, shuffle=shuffle, seed=seed,
                              drop_last=drop_last,
                              shard_index=self.shard_index,
@@ -273,9 +280,16 @@ class GeneralPKLDataModule(ArrayDataModule):
         raise NotImplementedError(f"task <<{task}>> is not supported")
 
     def _loader(self, data, labels, batch, shuffle, seed, drop_last=False):
-        y = self._condition(data, seed)
-        return EpochIterator((y, data), batch, shuffle=shuffle, seed=seed,
-                             drop_last=drop_last,
+        # cache per split (keyed by seed too: the inpainting mask stream is
+        # seed-dependent); recomputing the full-split condition every epoch
+        # would redo resizes/masks over up to 500k images
+        cache = getattr(self, "_cond_cache", None) or {}
+        key = (id(data), seed)
+        if key not in cache:
+            cache[key] = self._condition(data, seed)
+            self._cond_cache = cache
+        return EpochIterator((cache[key], data), batch, shuffle=shuffle,
+                             seed=seed, drop_last=drop_last,
                              shard_index=self.shard_index,
                              num_shards=self.num_shards)
 

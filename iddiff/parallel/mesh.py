@@ -35,7 +35,10 @@ def maybe_initialize_distributed(config=None):
     """
     import os
 
-    if jax.process_count() > 1:
+    # NOTE: must NOT touch jax.process_count()/jax.devices() here — they
+    # initialize the XLA backends, after which jax.distributed.initialize()
+    # raises (caught in round-2 self-review; reproduced on jax 0.9.0)
+    if jax.distributed.is_initialized():
         return True  # already initialized
     addr = None
     num_nodes = 1

@@ -274,7 +274,7 @@ def test(config, workdir: str | None = None):
             # (weights-free — see analysis/evaluation.py, MIGRATION.md)
             result["test_psnr"] = batch_psnr(samples, np.asarray(x))
             result["test_ssim"] = batch_ssim(samples, np.asarray(x))
-            if samples.ndim == 4 and samples.shape[1] >= 11:
+            if samples.ndim == 4 and min(samples.shape[1:3]) >= 11:
                 result["test_ms_ssim"] = batch_ms_ssim(samples, np.asarray(x))
     print(f"[iddiff] test: {result}")
     return result

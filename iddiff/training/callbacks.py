@@ -318,7 +318,7 @@ class PairedVisualization(Callback):
         )
         metrics["val_psnr"] = batch_psnr(samples, np.asarray(x))
         metrics["val_ssim"] = batch_ssim(samples, np.asarray(x))
-        if samples.ndim == 4 and samples.shape[1] >= 11:
+        if samples.ndim == 4 and min(samples.shape[1:3]) >= 11:
             # LPIPS stand-in (no weights in this image): MS-SSIM
             metrics["val_ms_ssim"] = batch_ms_ssim(samples, np.asarray(x))
 

@@ -36,6 +36,10 @@ def main():
         dims = dims_from_spectra(s)
         d = s.shape[1]
         k = truth if truth is not None else int(np.median(dims))
+        if not 0 < k <= d - 2:
+            print(f"{os.path.basename(f)}: dims={[int(v) for v in dims]} "
+                  f"(k={k} leaves no cliff room in d={d})")
+            continue
         sep = s[:, d - k - 1]            # the candidate (k+1)-th direction
         cluster = s[:, d - k:].mean(1)   # mean of the k manifold values
         big = s[:, d - k - 2]            # smallest of the 'large' group
