@@ -86,21 +86,7 @@ class LRHRPKLDataModule(_PairedMixin, ArrayDataModule):
     LR at lr_path; otherwise bicubic-downsampled by data.scale]."""
 
     def generate(self, config):
-        import pickle
-
-        path = config.data.hr_path
-        if path.endswith((".pkl", ".pickle")):
-            with open(path, "rb") as f:
-                arr = pickle.load(f)
-            arr = np.asarray(arr, dtype=np.float32)
-        else:
-            arr = np.load(path)
-            if hasattr(arr, "files"):
-                arr = arr[arr.files[0]]
-            arr = np.asarray(arr, dtype=np.float32)
-        if arr.ndim == 4 and arr.shape[1] in (1, 3) and arr.shape[-1] not in (1, 3):
-            arr = np.transpose(arr, (0, 2, 3, 1))
-        return arr
+        return _load_pkl_array(resolve_pkl_path(config))
 
 
 
