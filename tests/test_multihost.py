@@ -161,3 +161,27 @@ def test_val_loader_sharded_equal_lengths():
     v0 = [np.asarray(b) for b in dms[0].val_dataloader()]
     v1 = [np.asarray(b) for b in dms[1].val_dataloader()]
     assert [b.shape for b in v0] == [b.shape for b in v1]
+
+
+def test_maybe_initialize_distributed_does_not_touch_backends():
+    """Regression (round-2 review): the idempotency guard must not
+    initialize XLA backends — jax.distributed.initialize() raises if any
+    JAX computation ran first, which would make every real multi-host
+    launch crash.  Checked in a clean subprocess."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax\n"
+        "from iddiff.parallel import maybe_initialize_distributed\n"
+        "assert maybe_initialize_distributed(None) is False\n"
+        "from jax._src import xla_bridge\n"
+        "assert not xla_bridge.backends_are_initialized(), "
+        "'guard initialized the backends'\n"
+        "print('CLEAN')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd="/root/repo", timeout=180,
+    )
+    assert "CLEAN" in out.stdout, out.stdout + out.stderr
