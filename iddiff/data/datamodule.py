@@ -101,10 +101,50 @@ class ArrayDataModule:
         raise NotImplementedError
 
     # -------------------------------------------------------------------------
+    def _cache_path(self):
+        """Opt-in on-disk cache for generated datasets
+        (data.cache_generated=True): restarts/resumes skip the minutes-long
+        vectorized generation of e.g. 500k synthetic images."""
+        import hashlib
+        import json
+        import os
+
+        d = self.config.data
+        try:
+            key = json.dumps(d.to_dict(), sort_keys=True, default=str)
+        except Exception:
+            key = repr(sorted(str(d).split()))
+        h = hashlib.sha1(
+            (type(self).__name__ + key + str(self.seed)).encode()
+        ).hexdigest()[:16]
+        root = d.get("cache_dir", None) or os.path.join(
+            os.path.expanduser("~"), ".cache", "iddiff_data"
+        )
+        os.makedirs(root, exist_ok=True)
+        return os.path.join(root, f"{type(self).__name__}_{h}.npz")
+
     def setup(self, stage=None):
         if self._setup_done:
             return
-        out = self.generate(self.config)
+        cache = None
+        if self.config.data.get("cache_generated", False):
+            cache = self._cache_path()
+            try:
+                with np.load(cache) as z:
+                    out = (z["data"], z["labels"]) if "labels" in z else z["data"]
+            except (FileNotFoundError, KeyError, OSError):
+                out = self.generate(self.config)
+                arrs = out if isinstance(out, tuple) else (out,)
+                kw = {"data": np.asarray(arrs[0], np.float32)}
+                if len(arrs) > 1 and arrs[1] is not None:
+                    kw["labels"] = np.asarray(arrs[1])
+                tmp = cache + ".tmp.npz"
+                np.savez(tmp, **kw)
+                import os
+
+                os.replace(tmp, cache)
+        else:
+            out = self.generate(self.config)
         if isinstance(out, tuple):
             data, labels = out
         else:

@@ -154,3 +154,40 @@ def test_paired_loader_shapes():
     lr, hr = next(iter(dm.train_dataloader()))
     assert hr.shape[1:] == (16, 16, 1)
     assert lr.shape[1:] == (8, 8, 1)
+
+
+def test_generated_dataset_cache(tmp_path):
+    """data.cache_generated=True: second setup loads from the npz cache and
+    yields identical splits; labels round-trip too."""
+    import ml_collections
+
+    from iddiff.data import create_datamodule
+
+    def cfg():
+        c = ml_collections.ConfigDict()
+        c.seed = 3
+        c.data = ml_collections.ConfigDict(dict(
+            datamodule="KSphere", manifold_dim=2, ambient_dim=8,
+            n_spheres=1, noise_std=0.0, embedding_type="random_isometry",
+            data_samples=200, split=[0.8, 0.1, 0.1], return_labels=False,
+            cache_generated=True, cache_dir=str(tmp_path),
+        ))
+        for k in ["training", "validation", "eval"]:
+            setattr(c, k, ml_collections.ConfigDict(
+                {"batch_size": 16, "workers": 0}))
+        return c
+
+    dm1 = create_datamodule(cfg())
+    dm1.setup()
+    files = list(tmp_path.iterdir())
+    assert len(files) == 1 and files[0].suffix == ".npz"
+    dm2 = create_datamodule(cfg())
+    dm2.setup()  # loads from cache
+    np.testing.assert_array_equal(dm1.train_data, dm2.train_data)
+    np.testing.assert_array_equal(dm1.test_data, dm2.test_data)
+    # a different config hashes to a different cache entry
+    c3 = cfg()
+    c3.data.manifold_dim = 3
+    dm3 = create_datamodule(c3)
+    dm3.setup()
+    assert len(list(tmp_path.iterdir())) == 2
