@@ -211,9 +211,12 @@ def _bench_image_id():
     t_ref = time.perf_counter() - t0
 
     # ---- iddiff estimator ----
-    # same K samples as the reference formula, collected at a TPU-friendly
-    # compute batch (id/estimator.py compute_batch_size; iid either way)
-    B_c = int(os.environ.get("IDDIFF_BENCH_IMAGE_COMPUTE_BATCH", "256"))
+    # same K samples as the reference formula; compute batch measured on
+    # v5e: effective conv batch P*B_c=256 is the sweet spot (512 is ~13%
+    # slower — attention at 16^2 and activation traffic grow faster than
+    # MXU utilization).  bf16 is +1% (compute-bound at ~78% of the fp32
+    # conv roofline), so fp32 stays.
+    B_c = int(os.environ.get("IDDIFF_BENCH_IMAGE_COMPUTE_BATCH", "128"))
     fn, K2 = make_spectra_fn(
         sde, model, data_shape=(32, 32, 1), batch_size=B, t=eps,
         compute_batch_size=B_c,
