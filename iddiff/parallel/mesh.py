@@ -47,10 +47,22 @@ def maybe_initialize_distributed(config=None):
         num_nodes = int(config.training.get("num_nodes", 1))
     addr = addr or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr is not None:
+        num_procs = os.environ.get("JAX_NUM_PROCESSES")
+        proc_id = os.environ.get("JAX_PROCESS_ID")
+        if num_procs is None or proc_id is None:
+            # A coordinator address with no explicit process count/id would
+            # silently initialize a 1-process "cluster" — always a
+            # misconfiguration (the point of setting the address is >1).
+            raise RuntimeError(
+                "coordinator_address is set "
+                f"({addr!r}) but JAX_NUM_PROCESSES/JAX_PROCESS_ID are not "
+                "both set; export both on every host (see "
+                "cluster/run_tpu.sh) or unset the address for "
+                "single-process runs.")
         jax.distributed.initialize(
             coordinator_address=addr,
-            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
-            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+            num_processes=int(num_procs),
+            process_id=int(proc_id),
         )
         return True
     if num_nodes > 1:

@@ -77,6 +77,15 @@ def _restore_eval_params(config, model, datamodule, workdir):
     return state.ema_params
 
 
+def select_datapoints(train_data: np.ndarray, num: int, seed: int) -> np.ndarray:
+    """Seeded-permutation draw of estimator datapoints, matching the
+    reference's shuffled-dataloader sampling (dim_reduction.py:154-167).
+    First-n would be a biased sample for file-backed datasets with sorted
+    orderings (e.g. MNIST sorted by writer)."""
+    perm = np.random.default_rng(seed).permutation(train_data.shape[0])
+    return train_data[perm[:num]]
+
+
 def get_manifold_dimension(config, workdir: str | None = None, name: str = None,
                            return_svd: bool = False):
     """--mode manifold_dimension: the paper's headline path
@@ -99,7 +108,9 @@ def get_manifold_dimension(config, workdir: str | None = None, name: str = None,
     if est_batch is None:
         est_batch = config.training.batch_size
 
-    data = jnp.asarray(datamodule.train_data[:num_datapoints])
+    data = jnp.asarray(select_datapoints(
+        np.asarray(datamodule.train_data), num_datapoints,
+        int(config.get("seed", 42))))
     mesh = make_mesh()
     # chunk the datapoint axis: vmapping all P points at once multiplies
     # activation memory by P (prohibitive for image-scale nets); one
@@ -165,7 +176,9 @@ def get_conditional_manifold_dimension(config, workdir: str | None = None):
 
     # keep label==1 only, like the reference (:57-58)
     labels = datamodule.val_labels
-    data = datamodule.val_data[labels == 1][:num_datapoints]
+    data = select_datapoints(
+        np.asarray(datamodule.val_data[labels == 1]), num_datapoints,
+        int(config.get("seed", 42)))
     kept_labels = [1] * len(data)
 
     times = np.linspace(sampling_eps, 0.3, 12)

@@ -257,3 +257,23 @@ def test_compute_batch_size_same_K_same_dims():
     dims_b = dims_from_spectra(np.asarray(fn_b(jax.random.PRNGKey(2), params, data)))
     assert np.median(dims_a) == k
     assert np.median(dims_b) == k
+
+
+def test_select_datapoints_is_seeded_permutation():
+    """VERDICT r2 item 6: estimator datapoints are drawn by seeded
+    permutation (reference: shuffled dataloader, dim_reduction.py:154-167),
+    not first-n — first-n is biased for sorted file-backed datasets."""
+    from iddiff.run_lib import select_datapoints
+
+    data = np.arange(100, dtype=np.float32).reshape(100, 1)
+    sel = select_datapoints(data, 10, seed=42)
+    assert sel.shape == (10, 1)
+    # reproducible
+    np.testing.assert_array_equal(sel, select_datapoints(data, 10, seed=42))
+    # actually permuted: not the first-n prefix
+    assert not np.array_equal(sel[:, 0], np.arange(10, dtype=np.float32))
+    # a draw without replacement from the data
+    assert len(np.unique(sel)) == 10
+    assert np.isin(sel, data).all()
+    # different seed, different draw
+    assert not np.array_equal(sel, select_datapoints(data, 10, seed=7))
