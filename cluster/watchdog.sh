@@ -15,6 +15,11 @@ PIDF=$1; METRICS=$2; CFG=$3; WD=$4; LOGP=$5
 STOP_FILE=${STOP_FILE:-/tmp/iddiff_watchdog.stop}
 STALL_S=${STALL_S:-480}
 cd "$(dirname "$0")/.."
+# reset the staleness clock at supervision start: the metrics file may be
+# hours old from a previous round, which would otherwise kill a healthy
+# process mid-startup (cache load + checkpoint restore + compile take
+# minutes and write no metrics)
+[ -f "$METRICS" ] && touch "$METRICS"
 while true; do
   sleep 120
   [ -f "$STOP_FILE" ] && exit 0
@@ -30,6 +35,7 @@ while true; do
     nohup python -u main.py --config "$CFG" --mode train --workdir "$WD" \
         --resume > "${LOGP}_$(date -u +%H%M%S).log" 2>&1 &
     echo $! > "$PIDF"
+    [ -f "$METRICS" ] && touch "$METRICS"  # restart resets the clock too
     sleep 600  # resume needs data + compile before metrics move again
   fi
 done

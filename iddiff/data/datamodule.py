@@ -138,10 +138,15 @@ class ArrayDataModule:
                 kw = {"data": np.asarray(arrs[0], np.float32)}
                 if len(arrs) > 1 and arrs[1] is not None:
                     kw["labels"] = np.asarray(arrs[1])
-                tmp = cache + ".tmp.npz"
-                np.savez(tmp, **kw)
                 import os
 
+                # unique tmp per process: on a shared filesystem all hosts
+                # of a multi-host launch can miss the cache simultaneously;
+                # a fixed tmp name would be written concurrently and could
+                # be os.replace'd mid-write (advisor r2 #4).  The final
+                # os.replace is atomic, so last-writer-wins is safe.
+                tmp = f"{cache}.tmp.{os.getpid()}.npz"
+                np.savez(tmp, **kw)
                 os.replace(tmp, cache)
         else:
             out = self.generate(self.config)

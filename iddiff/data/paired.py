@@ -268,12 +268,25 @@ class GeneralPKLDataModule(ArrayDataModule):
     def _loader(self, data, labels, batch, shuffle, seed, drop_last=False):
         # cache per split (keyed by seed too: the inpainting mask stream is
         # seed-dependent); recomputing the full-split condition every epoch
-        # would redo resizes/masks over up to 500k images
+        # would redo resizes/masks over up to 500k images.  Exception: the
+        # TRAIN split of the inpainting task draws fresh masks each epoch —
+        # the reference draws a fresh random mask per __getitem__
+        # (SRFLOWDataset.py General_PKLDataset), and a frozen mask per image
+        # would shrink augmentation diversity (advisor r2 #3).
         cache = getattr(self, "_cond_cache", None) or {}
-        key = (id(data), seed)
-        if key not in cache:
-            cache[key] = self._condition(data, seed)
+        task = self.config.data.get("task", "super-resolution")
+        if shuffle and task == "inpainting":
+            epoch = getattr(self, "_train_epoch", 0)
+            self._train_epoch = epoch + 1
+            key = (id(data), seed, "train")
+            cache[key] = self._condition(
+                data, seed + 1_000_003 * (epoch + 1))
             self._cond_cache = cache
+        else:
+            key = (id(data), seed)
+            if key not in cache:
+                cache[key] = self._condition(data, seed)
+                self._cond_cache = cache
         return EpochIterator((cache[key], data), batch, shuffle=shuffle,
                              seed=seed, drop_last=drop_last,
                              shard_index=self.shard_index,

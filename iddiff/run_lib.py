@@ -245,27 +245,17 @@ def test(config, workdir: str | None = None):
         trainer.state = trainer.keeper.restore(trainer.state, which="best")
     except FileNotFoundError:
         pass
-    from iddiff.training.trainer import pad_to_multiple
-
     rng = jax.random.PRNGKey(0)
-    total, count = 0.0, 0
-    paired_batch = None
     # full test split by default (the reference evaluates full splits);
-    # config.eval.max_batches optionally caps the pass for quick smoke runs
+    # config.eval.max_batches optionally caps the pass for quick smoke runs.
+    # eval_split shards over the global mesh (multi-host-correct, unlike the
+    # earlier host-local _to_device path) and weights pad duplicates 0.
     max_batches = config.get("eval", {}).get("max_batches", None)
-    for i, batch in enumerate(trainer.datamodule.test_dataloader()):
-        if max_batches is not None and i >= int(max_batches):
-            print(f"[iddiff] test truncated at {int(max_batches)} batches "
-                  "(config.eval.max_batches)")
-            break
-        batch, n_true = pad_to_multiple(batch, trainer._host_div)
-        rng, sub = jax.random.split(rng)
-        batch = trainer._to_device(batch)
-        if isinstance(batch, tuple) and paired_batch is None:
-            paired_batch = batch
-        total += float(trainer.eval_step(trainer.state, batch, sub)) * n_true
-        count += n_true
-    result = {"test_loss": total / count if count else float("nan")}
+    loss, first_batch = trainer.eval_split(
+        trainer.datamodule.test_dataloader(), rng,
+        max_batches=max_batches, label="test")
+    paired_batch = first_batch if isinstance(first_batch, tuple) else None
+    result = {"test_loss": loss}
 
     if paired_batch is not None and trainer.conditional:
         from iddiff.analysis.evaluation import (

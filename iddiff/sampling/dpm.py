@@ -39,7 +39,15 @@ def _alpha_sigma(sde, t):
 def get_dpm_solver_sampler(sde, model, shape, *, steps: int = 25,
                            eps: float = 1e-3, continuous: bool = True,
                            time_spacing: str = "logsnr", denoise: bool = True):
-    """`sampler(rng, params) -> x` using `steps` score evaluations."""
+    """`sampler(rng, params) -> x` using exactly `steps` score evaluations.
+
+    With denoise=True the final evaluation is the data-prediction at eps
+    (noise removal), so the solver grid has steps-1 transitions; with
+    denoise=False all `steps` evaluations drive solver transitions
+    (advisor r2 #5: NFE accounting matches the `steps` knob either way).
+    """
+    n_steps = steps - 1 if denoise else steps
+    assert n_steps >= 1, "steps too small for denoise=True"
 
     # --- time grid (trace-time constants) --------------------------------
     if time_spacing == "logsnr":
@@ -47,12 +55,12 @@ def get_dpm_solver_sampler(sde, model, shape, *, steps: int = 25,
         dense = jnp.linspace(sde.T, eps, 4096)
         a_d, s_d = _alpha_sigma(sde, dense)
         lam_d = jnp.log(a_d / s_d)
-        lam_grid = jnp.linspace(lam_d[0], lam_d[-1], steps + 1)
+        lam_grid = jnp.linspace(lam_d[0], lam_d[-1], n_steps + 1)
         # lam_d is increasing along dense (t decreasing); interp needs
         # increasing xp
         ts = jnp.interp(lam_grid, lam_d, dense)
     else:
-        ts = jnp.linspace(sde.T, eps, steps + 1)
+        ts = jnp.linspace(sde.T, eps, n_steps + 1)
     alphas, sigmas = _alpha_sigma(sde, ts)
     lambdas = jnp.log(alphas / sigmas)
 
@@ -89,11 +97,11 @@ def get_dpm_solver_sampler(sde, model, shape, *, steps: int = 25,
             return (x_next, x0_i, h_i), None
 
         (x, x0_last, _), _ = jax.lax.scan(
-            body, (x, x0_prev, h_prev), jnp.arange(1, steps)
+            body, (x, x0_prev, h_prev), jnp.arange(1, n_steps)
         )
         if denoise:
             # final data prediction at t=eps (noise removal)
-            x = x0_pred(x, steps)
+            x = x0_pred(x, n_steps)
         return x
 
     return jax.jit(sampler)

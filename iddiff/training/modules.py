@@ -231,6 +231,14 @@ def haar_conditional_decreasing_variance_module(config, sde, model, eps):
     return _decreasing_variance_builder(config, sde, model, eps, use_haar=True)
 
 
+# legacy registry alias kept for config parity: the reference registers
+# `deprecated_conditional_decreasing_variance`
+# (ConditionalSdeGenerativeModel.py:81) though no shipped config uses it
+@register_training_module(name="deprecated_conditional_decreasing_variance")
+def deprecated_conditional_decreasing_variance_module(config, sde, model, eps):
+    return _decreasing_variance_builder(config, sde, model, eps, use_haar=False)
+
+
 @register_training_module(name="ksphere_gt")
 def ksphere_gt_module(config, sde, model, eps):
     """Constant loss 42 with a vanishing real gradient path through the dummy

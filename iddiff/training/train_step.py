@@ -89,3 +89,37 @@ def make_eval_step(loss_fn, mesh=None, use_ema: bool = True):
     return jax.jit(
         eval_step, in_shardings=(repl, data, repl), out_shardings=repl
     )
+
+
+def make_weighted_eval_step(loss_fn, mesh=None, use_ema: bool = True):
+    """`eval_step(state, batch, rng, weights) -> sum_i w_i * loss_i` with
+    per-sample losses.
+
+    Exact full-split evaluation over wrap-padded batches: pad duplicates get
+    weight 0 so they contribute NOTHING to the split mean (an advisor
+    finding on the earlier count-weighted batch mean, which still let the
+    duplicated samples bias the last partial batch).  Per-sample losses are
+    obtained by vmapping the scalar loss over single-sample slices — the
+    same batched XLA program, but with the batch mean deferred to the
+    caller's weighting.
+    """
+
+    def eval_step(state: TrainState, batch, rng, weights):
+        params = state.ema_params if use_ema else state.params
+        arrs = batch if isinstance(batch, tuple) else (batch,)
+        n = arrs[0].shape[0]
+        rngs = jax.random.split(rng, n)
+        one = jax.tree_util.tree_map(lambda x: x[:, None], batch)
+        per = jax.vmap(lambda b, r: loss_fn(params, b, r))(one, rngs)
+        return jnp.sum(per * weights)
+
+    if mesh is None:
+        return jax.jit(eval_step)
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        eval_step,
+        in_shardings=(repl, data, repl, data),
+        out_shardings=repl,
+    )

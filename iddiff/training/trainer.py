@@ -26,7 +26,7 @@ from .checkpoints import CheckpointKeeper
 from .metrics import MetricsWriter
 from .optim import make_optimizer
 from .state import TrainState
-from .train_step import make_eval_step, make_train_step
+from .train_step import make_train_step, make_weighted_eval_step
 
 
 def pad_to_multiple(batch, n: int):
@@ -117,7 +117,8 @@ class Trainer:
             mesh=self.mesh,
             with_scalars=self.scalars_fn is not None,
         )
-        self.eval_step = make_eval_step(self.eval_loss_fn, mesh=self.mesh)
+        self.eval_step = make_weighted_eval_step(
+            self.eval_loss_fn, mesh=self.mesh)
 
         self.metrics = MetricsWriter(
             workdir, enabled=jax.process_index() == 0
@@ -245,25 +246,44 @@ class Trainer:
 
     def validate(self, epoch: int) -> dict:
         """Full-split validation with EMA weights.  Evaluates every sample
-        (partial batches are wrap-padded to the mesh, weighted by true
-        count); `config.validation.max_batches` optionally caps the pass —
-        default None = full split (reference evaluates full splits)."""
+        exactly once (partial batches are wrap-padded to the mesh with the
+        pad duplicates weighted 0); `config.validation.max_batches`
+        optionally caps the pass — default None = full split (reference
+        evaluates full splits)."""
         rng = jax.random.PRNGKey(7919 + epoch)
         max_batches = self.config.get("validation", {}).get("max_batches", None)
+        loss, _ = self.eval_split(
+            self.datamodule.val_dataloader(), rng,
+            max_batches=max_batches, label="validation")
+        return {"eval_loss": loss}
+
+    def eval_split(self, loader, rng, max_batches=None, label="eval"):
+        """Exact mean loss over a full split: wrap-pad ragged batches to
+        the mesh divisor, weight pad duplicates 0 (per-sample losses from
+        make_weighted_eval_step), shard over the global mesh.  Returns
+        (mean_loss, first_device_batch)."""
         total, count = 0.0, 0
-        for i, batch in enumerate(self.datamodule.val_dataloader()):
+        first_batch = None
+        n_hosts = jax.process_count()
+        for i, batch in enumerate(loader):
             if max_batches is not None and i >= int(max_batches):
                 logger.warning(
-                    "validation truncated at %d batches "
-                    "(config.validation.max_batches)", int(max_batches),
-                )
+                    "%s truncated at %d batches", label, int(max_batches))
                 break
-            batch, n_true = pad_to_multiple(batch, self._host_div)
+            padded, n_true = pad_to_multiple(batch, self._host_div)
+            weights = np.zeros((self._lead_dim(padded),), np.float32)
+            weights[:n_true] = 1.0
             rng, sub = jax.random.split(rng)
-            batch = shard_batch(self.mesh, self._to_device(batch))
-            total += float(self.eval_step(self.state, batch, sub)) * n_true
-            count += n_true
-        return {"eval_loss": total / count if count else float("nan")}
+            dev_batch, dev_w = shard_batch(
+                self.mesh, (self._to_device(padded), weights))
+            if first_batch is None:
+                first_batch = dev_batch
+            # eval_step returns the GLOBAL weighted sum (psum over shards);
+            # hosts iterate in lockstep with equal local counts, so the
+            # global true count is n_true * process_count.
+            total += float(self.eval_step(self.state, dev_batch, sub, dev_w))
+            count += n_true * n_hosts
+        return (total / count if count else float("nan")), first_batch
 
     def _mesh_divisible(self, batch) -> bool:
         return self._lead_dim(batch) % self._host_div == 0

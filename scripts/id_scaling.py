@@ -1,0 +1,79 @@
+"""Sharded-ID-estimator scaling curve on the fake 8-device CPU mesh
+(VERDICT r2 item 10, SURVEY §7 stretch).
+
+The reference's estimator is single-device (dim_reduction.py:154-202); the
+iddiff estimator shards the datapoint axis over the mesh's 'data' axis.
+This script measures wall-clock per datapoint at 1/2/4/8-way sharding on
+the fake CPU mesh (XLA_FLAGS=--xla_force_host_platform_device_count=8) —
+the multi-chip story a single real chip can't tell.  Fake CPU devices are
+threads of one host sharing its cores, so the curve measures the sharding
+MECHANICS (correct SPMD partitioning, no replicated compute) and gives a
+lower bound on real-mesh scaling; on a TPU pod slice the shards own
+disjoint chips.
+
+Usage: python scripts/id_scaling.py [P] [repeats]
+Prints a markdown table for RESULTS.md.
+"""
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from iddiff.configs.dimension_estimation.ksphere import ksphere_config
+from iddiff.data.ksphere import generate_ksphere
+from iddiff.id import make_spectra_fn
+from iddiff.models import create_model
+from iddiff.parallel import make_mesh
+from iddiff.sde import get_sde
+
+
+def main():
+    P = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    config = ksphere_config(manifold_dim=10, ambient_dim=100)
+    d = config.data.ambient_dim
+    B = config.training.batch_size
+    model = create_model(config)
+    sde, eps = get_sde(config)
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.ones((B, d), jnp.float32)
+    params = model.init(rng, x0, jnp.zeros((B,)))["params"]
+    data = jnp.asarray(generate_ksphere(
+        n_samples=P, n_spheres=1, ambient_dim=d, manifold_dim=10,
+        noise_std=0.0, embedding_type="random_isometry", seed=1))
+
+    print(f"# fcn 5x2048, d={d}, B={B}, P={P} datapoints, best-of-{repeats}")
+    print("| data-axis shards | wall s/run | s/datapoint | speedup |")
+    print("|---|---|---|---|")
+    t1 = None
+    for n in [1, 2, 4, 8]:
+        mesh = make_mesh(n_data=n, devices=jax.devices()[:n])
+        fn, K = make_spectra_fn(
+            sde, model, data_shape=(d,), batch_size=B, t=eps, mesh=mesh)
+        np.asarray(fn(jax.random.PRNGKey(1), params, data))  # compile
+        times = []
+        for r in range(repeats):
+            t0 = time.perf_counter()
+            np.asarray(fn(jax.random.PRNGKey(2 + r), params, data))
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        if t1 is None:
+            t1 = best
+        print(f"| {n} | {best:.3f} | {best / P:.4f} | {t1 / best:.2f}x |")
+
+
+if __name__ == "__main__":
+    main()

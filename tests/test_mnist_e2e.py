@@ -1,0 +1,91 @@
+"""MNIST config end-to-end on a synthetic IDX fixture (VERDICT r2 item 4).
+
+The paper's headline image experiment is MNIST
+(/root/reference/configs/dimension_estimation/paper/image_data/MNIST/
+config.py:121-141, svd_points=50), but this no-egress image ships no MNIST
+data.  These tests mechanically validate the full MNIST code path —
+IDX-ubyte loader -> pad 28->32 -> DDPM U-Net -> train -> manifold_dimension
+— on a tiny synthetic IDX fixture written in the exact ubyte format, using
+the real config module shrunk --debug-style.  The data-acquisition blocker
+is documented in RESULTS.md.
+"""
+import os
+import struct
+
+import numpy as np
+import pytest
+
+
+def _write_idx_images(path: str, imgs: np.ndarray) -> None:
+    """Exact IDX3 ubyte format: magic 0x00000803, dims, raw bytes."""
+    with open(path, "wb") as f:
+        f.write(struct.pack(">I", 0x00000803))
+        f.write(struct.pack(">III", *imgs.shape))
+        f.write(imgs.astype(np.uint8).tobytes())
+
+
+def _write_idx_labels(path: str, labels: np.ndarray) -> None:
+    with open(path, "wb") as f:
+        f.write(struct.pack(">I", 0x00000801))
+        f.write(struct.pack(">I", labels.shape[0]))
+        f.write(labels.astype(np.uint8).tobytes())
+
+
+def _make_fixture(base_dir: str, n: int = 96) -> None:
+    rng = np.random.default_rng(0)
+    # digit-like blobs: a bright rectangle per image on black background
+    imgs = np.zeros((n, 28, 28), dtype=np.uint8)
+    for i in range(n):
+        r, c = rng.integers(4, 18, size=2)
+        imgs[i, r:r + 8, c:c + 8] = rng.integers(128, 255)
+    _write_idx_images(os.path.join(base_dir, "train-images-idx3-ubyte"), imgs)
+    _write_idx_labels(
+        os.path.join(base_dir, "train-labels-idx1-ubyte"),
+        rng.integers(0, 10, size=n))
+
+
+def test_idx_loader_roundtrip(tmp_path):
+    """The loader reads the exact ubyte format and pads 28->32 to [0,1]
+    NHWC (reference ImageDatasets.py:10-24)."""
+    from iddiff.data.image import mnist_arrays
+
+    _make_fixture(str(tmp_path), n=16)
+    x, y = mnist_arrays(str(tmp_path))
+    assert x.shape == (16, 32, 32, 1)
+    assert y.shape == (16,) and y.dtype == np.int32
+    assert 0.0 <= x.min() and x.max() <= 1.0
+    # zero padding ring
+    assert x[:, :2].max() == 0.0 and x[:, :, :2].max() == 0.0
+
+
+def test_mnist_config_end_to_end(tmp_path):
+    """The REAL MNIST config module (reference-path alias), --debug-shrunk,
+    through train -> manifold_dimension: loader -> DDPM(attn@16) -> ID."""
+    from iddiff.configs.dimension_estimation.paper.image_data.MNIST.config \
+        import get_config
+    from iddiff import run_lib
+
+    _make_fixture(str(tmp_path))
+    c = get_config()
+    c.data.base_dir = str(tmp_path)
+    c.logging.log_path = str(tmp_path / "logs")
+    # --debug-style shrink (main.py --debug parity) + smaller net for CPU
+    c.training.batch_size = 8
+    c.validation.batch_size = 8
+    c.eval.batch_size = 8
+    c.training.num_epochs = 2
+    c.training.n_iters = 6
+    c.training.eval_freq = 4
+    c.logging.svd_frequency = 10_000  # no in-training svd hook
+    c.logging.svd_points = 1
+    c.model.nf = 16
+    c.model.num_res_blocks = 1
+    c.dim_estimation.num_datapoints = 1
+    c.dim_estimation.batch_size = 64
+
+    run_lib.train(c)
+    dims = run_lib.get_manifold_dimension(c)
+    # 6 steps of training proves nothing about the estimate's value — only
+    # that the full path executes and produces a sane read-out.
+    assert len(dims) == 1
+    assert 1 <= int(dims[0]) <= 1024

@@ -244,9 +244,9 @@ def test_validate_covers_full_split(tmp_path):
     seen = []
     real_eval_step = trainer.eval_step
 
-    def spy(state, batch, rng):
+    def spy(state, batch, rng, weights):
         seen.append(int(batch.shape[0]))
-        return real_eval_step(state, batch, rng)
+        return real_eval_step(state, batch, rng, weights)
 
     trainer.eval_step = spy
     metrics = trainer.validate(epoch=0)
@@ -265,9 +265,9 @@ def test_validate_max_batches_cap(tmp_path):
     seen = []
     real_eval_step = trainer.eval_step
 
-    def spy(state, batch, rng):
+    def spy(state, batch, rng, weights):
         seen.append(int(batch.shape[0]))
-        return real_eval_step(state, batch, rng)
+        return real_eval_step(state, batch, rng, weights)
 
     trainer.eval_step = spy
     trainer.validate(epoch=0)
@@ -303,9 +303,9 @@ def test_run_lib_test_covers_full_split(tmp_path, monkeypatch):
             super().__init__(*a, **kw)
             real_step = self.eval_step
 
-            def spy(state, batch, rng):
+            def spy(state, batch, rng, weights):
                 seen.append(int(batch.shape[0]))
-                return real_step(state, batch, rng)
+                return real_step(state, batch, rng, weights)
 
             self.eval_step = spy
 
@@ -315,3 +315,23 @@ def test_run_lib_test_covers_full_split(tmp_path, monkeypatch):
     n_test = 600 - int(0.8 * 600) - int(0.1 * 600)
     assert sum(seen) >= n_test          # nothing dropped
     assert all(s % 8 == 0 for s in seen)  # padded to the mesh
+
+
+def test_weighted_eval_step_pad_samples_contribute_nothing():
+    """Advisor r2 #1: weight-0 pad duplicates must contribute NOTHING to
+    the split loss — garbage in the padded rows cannot change the result."""
+    from iddiff.training.train_step import make_weighted_eval_step
+
+    config = tiny_bubbles_config()
+    sde, model, loss_fn, optimizer, state = _setup(config)
+    eval_fn = get_sde_loss_fn(sde, model, train=False, eps=1e-5)
+    ev = make_weighted_eval_step(eval_fn)
+    rng = jax.random.PRNGKey(3)
+    true = jax.random.normal(jax.random.PRNGKey(2), (4, 2))
+    w = jnp.array([1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0])
+    a = float(ev(state, jnp.concatenate(
+        [true, jnp.full((4, 2), 1e6)]), rng, w))
+    b = float(ev(state, jnp.concatenate(
+        [true, jnp.full((4, 2), -777.0)]), rng, w))
+    assert np.isfinite(a)
+    assert a == b, (a, b)
