@@ -181,7 +181,8 @@ class ArrayDataModule:
                              num_shards=self.num_shards)
 
     def train_dataloader(self):
-        # static shapes for jit + mesh-divisible batches: drop ragged tails
+        # drop_last=False: the Trainer wrap-pads a ragged tail batch to the
+        # nominal batch size (one compiled shape, no sample dropped)
         use_native = self.config.training.get("native_loader", "auto")
         plain_array = self.train_labels is None or not self.return_labels
         # subclasses that override _loader (paired/conditional/time-series)
@@ -198,7 +199,7 @@ class ArrayDataModule:
                 if native_available():
                     self._native_train_iter = NativeEpochIterator(
                         self.train_data, self.train_batch, shuffle=True,
-                        seed=self.seed + 1, drop_last=True,
+                        seed=self.seed + 1, drop_last=False,
                         shard_index=self.shard_index,
                         num_shards=self.num_shards,
                     )
@@ -207,7 +208,7 @@ class ArrayDataModule:
                 if use_native is True:
                     raise
         return self._loader(self.train_data, self.train_labels, self.train_batch,
-                            True, self.seed + 1, drop_last=True)
+                            True, self.seed + 1, drop_last=False)
 
     def val_dataloader(self):
         # drop_last=False: Trainer.validate wrap-pads ragged tails to the
