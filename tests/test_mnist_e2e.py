@@ -78,10 +78,11 @@ def test_mnist_config_end_to_end(tmp_path):
     c.training.eval_freq = 4
     c.logging.svd_frequency = 10_000  # no in-training svd hook
     c.logging.svd_points = 1
-    c.model.nf = 16
+    c.model.nf = 8
     c.model.num_res_blocks = 1
     c.dim_estimation.num_datapoints = 1
-    c.dim_estimation.batch_size = 64
+    c.dim_estimation.batch_size = 128
+    c.dim_estimation.compute_batch_size = 256
 
     run_lib.train(c)
     dims = run_lib.get_manifold_dimension(c)
