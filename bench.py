@@ -114,8 +114,10 @@ def main():
     from iddiff.id import make_spectra_fn
 
     datapoints = jnp.asarray(data)
+    eb = os.environ.get("IDDIFF_BENCH_EUCLIDEAN_COMPUTE_BATCH")
     spectra_fn, _K = make_spectra_fn(
-        sde, model, data_shape=(d,), batch_size=B, t=eps
+        sde, model, data_shape=(d,), batch_size=B, t=eps,
+        compute_batch_size=int(eb) if eb else None,
     )
     _sync(spectra_fn(jax.random.PRNGKey(1), params, datapoints))
     t_opt, t_opt_mean, t_opt_sd = _timeit(
