@@ -275,7 +275,12 @@ class GeneralPKLDataModule(ArrayDataModule):
         # would shrink augmentation diversity (advisor r2 #3).
         cache = getattr(self, "_cond_cache", None) or {}
         task = self.config.data.get("task", "super-resolution")
-        if shuffle and task == "inpainting":
+        # gate on the actual TRAIN split, not `shuffle` — val_dataloader
+        # also shuffles, and keying on shuffle made validation masks (and
+        # the full val-split condition) resample every validate() call,
+        # sharing the train epoch counter (advisor r3 #1)
+        is_train = data is getattr(self, "train_data", None)
+        if is_train and task == "inpainting":
             epoch = getattr(self, "_train_epoch", 0)
             self._train_epoch = epoch + 1
             key = (id(data), seed, "train")

@@ -257,7 +257,12 @@ def test(config, workdir: str | None = None):
     paired_batch = first_batch if isinstance(first_batch, tuple) else None
     result = {"test_loss": loss}
 
-    if paired_batch is not None and trainer.conditional:
+    # paired sample metrics are host-local numpy work on the first batch;
+    # on a multi-host run first_batch is a non-fully-addressable global
+    # jax.Array and np.asarray/slicing would raise (advisor r3 #3), so the
+    # block runs single-host only — the split loss above is multi-host-exact
+    if paired_batch is not None and trainer.conditional \
+            and jax.process_count() == 1:
         from iddiff.analysis.evaluation import (
             batch_ms_ssim, batch_psnr, batch_ssim,
         )

@@ -22,7 +22,8 @@ from .state import TrainState
 
 
 def make_train_step(loss_fn, optimizer, ema_rate: float, mesh=None,
-                    state_sharding=None, with_scalars: bool = False):
+                    state_sharding=None, with_scalars: bool = False,
+                    weighted: bool = False):
     """Build `train_step(state, batch[, scalars]) -> (state, loss)`.
 
     loss_fn: (params, batch, rng[, scalars]) -> scalar.  `scalars` is an
@@ -32,13 +33,38 @@ def make_train_step(loss_fn, optimizer, ema_rate: float, mesh=None,
     state_sharding: optional TrainState-shaped pytree of NamedShardings for
     tensor-parallel params (see parallel.infer_param_sharding); default is
     fully replicated state (pure DP).
+    weighted: when True the step signature becomes
+    `train_step(state, batch, weights[, scalars])` and the loss is the
+    weight-normalized mean of per-sample losses (weights sharded with the
+    batch).  This lets the Trainer wrap-pad every batch to ONE compiled,
+    mesh-divisible shape and give the pad duplicates weight 0 — exact
+    gradients for any batch_size/mesh combination (the reference's
+    Lightning loader trains ragged final batches equally,
+    /root/reference/run_lib.py:57-71 + DataLoader semantics).
     """
 
-    def train_step(state: TrainState, batch, scalars=None):
-        rng, sub = jax.random.split(state.rng)
+    def weighted_loss(params, batch, sub, weights, scalars=None):
+        arrs = batch if isinstance(batch, tuple) else (batch,)
+        n = arrs[0].shape[0]
+        rngs = jax.random.split(sub, n)
+        one = jax.tree_util.tree_map(lambda x: x[:, None], batch)
         if with_scalars:
+            per = jax.vmap(lambda b, r: loss_fn(params, b, r, scalars))(
+                one, rngs)
+        else:
+            per = jax.vmap(lambda b, r: loss_fn(params, b, r))(one, rngs)
+        return jnp.sum(per * weights) / jnp.sum(weights)
+
+    def train_step(state: TrainState, batch, *args):
+        # args: (weights?,) + (scalars?) depending on weighted/with_scalars
+        rng, sub = jax.random.split(state.rng)
+        if weighted:
+            loss, grads = jax.value_and_grad(weighted_loss)(
+                state.params, batch, sub, *args
+            )
+        elif with_scalars:
             loss, grads = jax.value_and_grad(loss_fn)(
-                state.params, batch, sub, scalars
+                state.params, batch, sub, *args
             )
         else:
             loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, sub)
@@ -64,7 +90,9 @@ def make_train_step(loss_fn, optimizer, ema_rate: float, mesh=None,
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     state_in = state_sharding if state_sharding is not None else repl
-    in_shardings = (state_in, data) + ((repl,) if with_scalars else ())
+    in_shardings = (state_in, data) \
+        + ((data,) if weighted else ()) \
+        + ((repl,) if with_scalars else ())
     return jax.jit(
         train_step,
         in_shardings=in_shardings,
