@@ -70,8 +70,6 @@ def main():
         np.asarray(fn(jax.random.PRNGKey(1), params, data))  # compile
         # per-device flops of the partitioned executable
         try:
-            import jax.numpy as jnp
-
             cost = (
                 jax.jit(fn)
                 .lower(jax.random.PRNGKey(1), params, data)
