@@ -81,8 +81,11 @@ class ScoreSpectrumVisualization(Callback):
         dims = dims_from_spectra(np.asarray(spectra))
         metrics["dim"] = float(np.median(dims))
         if cfg.logging.get("save_svd", False):
+            # keyed by global step, not epoch: epoch counters restart at 0 on
+            # every --resume, so epoch-keyed files silently overwrite spectra
+            # from earlier sessions of the same run
             save_spectra(np.asarray(spectra), f"{trainer.workdir}/svd",
-                         name=f"epoch_{epoch}")
+                         name=f"steps_{int(trainer.state.step):06d}")
         try:
             from iddiff.analysis.plots import spectrum_figure
 

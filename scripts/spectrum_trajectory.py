@@ -1,7 +1,8 @@
 """Track the ID read-out and the cliff geometry across training.
 
 Reads the in-training spectra pickles (logging.save_svd=True writes
-<workdir>/svd/epoch_<E>.pkl) and prints, per checkpoint:
+<workdir>/svd/steps_<S>.pkl; pre-round-4 sessions wrote epoch_<E>.pkl)
+and prints, per checkpoint:
   - per-point dims (softmax-gap rule, identical to plot_utils.py:173-183)
   - the "separating" singular value s_{d-k-1} vs the manifold cluster mean
     — the 11->10 crossing of the paper's image experiments is visible as
@@ -24,8 +25,9 @@ from iddiff.id import dims_from_spectra  # noqa: E402
 def main():
     workdir = sys.argv[1]
     truth = int(sys.argv[2]) if len(sys.argv) > 2 else None
-    files = glob.glob(os.path.join(workdir, "svd", "epoch_*.pkl"))
-    files.sort(key=lambda p: int(re.search(r"epoch_(\d+)", p).group(1)))
+    files = glob.glob(os.path.join(workdir, "svd", "steps_*.pkl"))
+    files += glob.glob(os.path.join(workdir, "svd", "epoch_*.pkl"))
+    files.sort(key=lambda p: int(re.search(r"(?:steps|epoch)_(\d+)", p).group(1)))
     if not files:
         print(f"no spectra under {workdir}/svd")
         return
@@ -43,9 +45,9 @@ def main():
         sep = s[:, d - k - 1]            # the candidate (k+1)-th direction
         cluster = s[:, d - k:].mean(1)   # mean of the k manifold values
         big = s[:, d - k - 2]            # smallest of the 'large' group
-        epoch = re.search(r"epoch_(\d+)", f).group(1)
+        m = re.search(r"(steps|epoch)_(\d+)", f)
         print(
-            f"epoch {epoch:>5}: dims={[int(v) for v in dims]} "
+            f"{m.group(1)} {m.group(2):>6}: dims={[int(v) for v in dims]} "
             f"median={np.median(dims):.0f}"
             f"  sep/cluster={float((sep / cluster).mean()):6.2f}"
             f"  sep/next-large={float((sep / big).mean()):5.2f}"
