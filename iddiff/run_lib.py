@@ -64,11 +64,16 @@ def _restore_eval_params(config, model, datamodule, workdir):
     optimizer = make_optimizer(config)
     abstract = TrainState.create(params, optimizer.init(params), rng)
     keeper = CheckpointKeeper(ckpt_path)
+    # reference analogue: config.model.checkpoint_path can point at ANY
+    # .ckpt (dim_reduction.py:127); with directory keepers the selector is
+    # model.restore_which ('best' default, or 'last' for the newest step)
+    which = config.model.get("restore_which", "best")
     try:
-        state = keeper.restore(abstract, which="best")
-    except Exception as e:  # fall back to 'last', then fail with context
+        state = keeper.restore(abstract, which=which)
+    except Exception as e:  # fall back to the other cadence, then fail
         try:
-            state = keeper.restore(abstract, which="last")
+            state = keeper.restore(
+                abstract, which="last" if which == "best" else "best")
         except Exception:
             raise FileNotFoundError(
                 f"No checkpoint found under '{ckpt_path}' "
