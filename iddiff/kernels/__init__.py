@@ -1,5 +1,11 @@
 from .upfirdn2d import upfirdn2d, upfirdn2d_native, upsample_2d, downsample_2d
 from .fused_act import fused_leaky_relu
+from .group_norm import (
+    fused_groupnorm_enabled,
+    group_norm_act,
+    group_norm_act_reference,
+    set_fused_groupnorm,
+)
 
 __all__ = [
     "upfirdn2d",
@@ -7,4 +13,8 @@ __all__ = [
     "upsample_2d",
     "downsample_2d",
     "fused_leaky_relu",
+    "fused_groupnorm_enabled",
+    "group_norm_act",
+    "group_norm_act_reference",
+    "set_fused_groupnorm",
 ]

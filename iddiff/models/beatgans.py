@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from iddiff.nn import default_init, get_timestep_embedding
+from iddiff.nn import GroupNorm, default_init, get_timestep_embedding
 from iddiff.nn.layers import conv3x3, conv1x1
 
 from .registry import register_model
@@ -47,7 +47,8 @@ class BGResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb, *, train: bool = False):
         C = x.shape[-1]
-        h = nn.silu(nn.GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-5)(x))
+        h = GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-5,
+                      act=nn.silu)(x)
         if self.up or self.down:
             h = self._resample(h)
             x = self._resample(x)
@@ -87,7 +88,7 @@ class BGAttention(nn.Module):
             if self.num_head_channels > 0
             else self.num_heads
         )
-        h = nn.GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-5)(x)
+        h = GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-5)(x)
         h = h.reshape(B, H * W, C)
         h = nn.MultiHeadDotProductAttention(
             num_heads=max(heads, 1), qkv_features=C,
@@ -183,5 +184,6 @@ class BeatGANsUNetModel(nn.Module):
                     h = conv3x3(C)(h)
 
         C = h.shape[-1]
-        h = nn.silu(nn.GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-5)(h))
+        h = GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-5,
+                      act=nn.silu)(h)
         return conv3x3(out_channels, init_scale=0.0)(h)

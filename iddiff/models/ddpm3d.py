@@ -12,7 +12,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from iddiff.nn import default_init, get_act, get_timestep_embedding
+from iddiff.nn import (
+    GroupNorm,
+    default_init,
+    get_act,
+    get_timestep_embedding,
+)
 
 from .registry import register_model
 
@@ -32,15 +37,15 @@ class ResnetBlock3D(nn.Module):
     def __call__(self, x, temb=None, *, train: bool = False):
         C = x.shape[-1]
         out_ch = self.out_ch or C
-        h = self.act(nn.GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-6)(x))
+        h = GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-6,
+                      act=self.act)(x)
         h = conv3x3x3(out_ch)(h)
         if temb is not None:
             h = h + nn.Dense(out_ch, kernel_init=default_init())(
                 self.act(temb)
             )[:, None, None, None, :]
-        h = self.act(
-            nn.GroupNorm(num_groups=min(out_ch // 4, 32), epsilon=1e-6)(h)
-        )
+        h = GroupNorm(num_groups=min(out_ch // 4, 32), epsilon=1e-6,
+                      act=self.act)(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = conv3x3x3(out_ch, init_scale=0.0)(h)
         if C != out_ch:
@@ -125,7 +130,7 @@ class DDPM3D(nn.Module):
         assert not hs
 
         C = h.shape[-1]
-        h = act(nn.GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-6)(h))
+        h = GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-6, act=act)(h)
         return conv3x3x3(channels, init_scale=0.0)(h)
 
 

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from iddiff.nn import (
     AttnBlock,
     Downsample,
+    GroupNorm,
     ResnetBlockDDPM,
     Upsample,
     conv3x3,
@@ -123,7 +124,7 @@ class DDPM(nn.Module):
         assert not hs
 
         C = h.shape[-1]
-        h = act(nn.GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-6)(h))
+        h = GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-6, act=act)(h)
         h = conv3x3(output_channels, init_scale=0.0)(h)
         return h
 

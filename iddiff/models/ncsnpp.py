@@ -19,6 +19,7 @@ from iddiff.nn import (
     Combine,
     Downsample,
     GaussianFourierProjection,
+    GroupNorm,
     ResnetBlockBigGAN,
     ResnetBlockDDPM,
     Upsample,
@@ -164,8 +165,8 @@ class NCSNpp(nn.Module):
             if progressive != "none":
                 C = h.shape[-1]
                 if i_level == num_resolutions - 1:
-                    ph = act(nn.GroupNorm(num_groups=min(C // 4, 32),
-                                          epsilon=1e-6)(h))
+                    ph = GroupNorm(num_groups=min(C // 4, 32),
+                                   epsilon=1e-6, act=act)(h)
                     if progressive == "output_skip":
                         pyramid = conv3x3(out_channels,
                                           init_scale=init_scale)(ph)
@@ -177,8 +178,8 @@ class NCSNpp(nn.Module):
                     if progressive == "output_skip":
                         pyramid = Upsample(with_conv=False, fir=fir,
                                            fir_kernel=fir_kernel)(pyramid)
-                        ph = act(nn.GroupNorm(num_groups=min(C // 4, 32),
-                                              epsilon=1e-6)(h))
+                        ph = GroupNorm(num_groups=min(C // 4, 32),
+                                       epsilon=1e-6, act=act)(h)
                         pyramid = pyramid + conv3x3(
                             out_channels, init_scale=init_scale
                         )(ph)
@@ -202,7 +203,7 @@ class NCSNpp(nn.Module):
         if progressive == "output_skip":
             return pyramid
         C = h.shape[-1]
-        h = act(nn.GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-6)(h))
+        h = GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-6, act=act)(h)
         return conv3x3(out_channels, init_scale=init_scale)(h)
 
 

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from iddiff.kernels import upsample_2d, downsample_2d
+from iddiff.nn.normalization import GroupNorm
 
 
 def get_act(config):
@@ -110,7 +111,7 @@ class AttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = nn.GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-6)(x)
+        h = GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-6)(x)
         q = NIN(C)(h)
         k = NIN(C)(h)
         v = NIN(C)(h)
@@ -198,13 +199,15 @@ class ResnetBlockDDPM(nn.Module):
         # `train` is positional-able so nn.remat can mark it static
         C = x.shape[-1]
         out_ch = self.out_ch or C
-        h = self.act(nn.GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-6)(x))
+        h = GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-6,
+                      act=self.act)(x)
         h = conv3x3(out_ch)(h)
         if temb is not None:
             h = h + nn.Dense(out_ch, kernel_init=default_init())(
                 self.act(temb)
             )[:, None, None, :]
-        h = self.act(nn.GroupNorm(num_groups=min(out_ch // 4, 32), epsilon=1e-6)(h))
+        h = GroupNorm(num_groups=min(out_ch // 4, 32), epsilon=1e-6,
+                      act=self.act)(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = conv3x3(out_ch, init_scale=self.init_scale)(h)
         if C != out_ch:
@@ -248,7 +251,8 @@ class ResnetBlockBigGAN(nn.Module):
         # `train` positional-able so nn.remat can mark it static
         C = x.shape[-1]
         out_ch = self.out_ch or C
-        h = self.act(nn.GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-6)(x))
+        h = GroupNorm(num_groups=min(C // 4, 32), epsilon=1e-6,
+                      act=self.act)(x)
         if self.up or self.down:
             h = self._resample(h)
             x = self._resample(x)
@@ -257,7 +261,8 @@ class ResnetBlockBigGAN(nn.Module):
             h = h + nn.Dense(out_ch, kernel_init=default_init())(
                 self.act(temb)
             )[:, None, None, :]
-        h = self.act(nn.GroupNorm(num_groups=min(out_ch // 4, 32), epsilon=1e-6)(h))
+        h = GroupNorm(num_groups=min(out_ch // 4, 32), epsilon=1e-6,
+                      act=self.act)(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = conv3x3(out_ch, init_scale=self.init_scale)(h)
         if C != out_ch or self.up or self.down:

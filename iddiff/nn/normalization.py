@@ -7,9 +7,71 @@ argument.  Layout NHWC; instance statistics are over (H, W).
 """
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from iddiff.kernels.group_norm import (
+    fused_groupnorm_enabled,
+    group_norm_act,
+    group_norm_act_reference,
+)
+
+# function objects that mean "swish" — the only activation the fused
+# Pallas kernel knows how to apply in-register
+_SWISH_FNS = (nn.swish, nn.silu, jax.nn.silu)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with an optionally FUSED trailing activation.
+
+    Drop-in for `act(flax.linen.GroupNorm(num_groups, epsilon)(x))` at the
+    DDPM/NCSN++ block call sites: the class is deliberately named
+    `GroupNorm` so flax auto-scoping produces the same `GroupNorm_N` path
+    and the same `scale`/`bias` leaves as flax's module — checkpoints
+    trained before the fusion restore unchanged.
+
+    When the Pallas kernel is enabled (`IDDIFF_FUSED_GN=1` or
+    `kernels.group_norm.set_fused_groupnorm(True)`) and the activation is
+    swish/None on a 4D NHWC tensor, norm + affine + activation run as ONE
+    HBM pass (kernels/group_norm.py); otherwise the pure-lax two-pass
+    path is used (numerically the flax behavior).
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-6
+    act: Any = None  # callable applied after the norm; swish is fusable
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        act_name = "swish" if any(self.act is f for f in _SWISH_FNS) \
+            else None
+        if (fused_groupnorm_enabled() and x.ndim == 4
+                and (self.act is None or act_name)):
+            return group_norm_act(
+                x, scale, bias, self.num_groups, self.epsilon, act_name)
+        y = group_norm_act_reference(
+            x, scale, bias, self.num_groups, self.epsilon, None) \
+            if x.ndim == 4 else _group_norm_nd(
+                x, scale, bias, self.num_groups, self.epsilon)
+        return self.act(y) if self.act is not None else y
+
+
+def _group_norm_nd(x, scale, bias, num_groups: int, eps: float):
+    """GroupNorm over all-but-(batch, channel) axes for non-4D inputs
+    (e.g. the 3D U-Net's (B, D, H, W, C))."""
+    B, C = x.shape[0], x.shape[-1]
+    cg = C // num_groups
+    xg = x.reshape(B, -1, num_groups, cg)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = ((xg - mean) ** 2).mean(axis=(1, 3), keepdims=True)
+    y = ((xg - mean) / jnp.sqrt(var + eps)).reshape(x.shape)
+    return y * scale + bias
 
 
 class InstanceNorm2d(nn.Module):
@@ -140,5 +202,5 @@ def get_normalization(config, conditional: bool = False):
     if norm == "VarianceNorm":
         return VarianceNorm2d
     if norm == "GroupNorm":
-        return lambda: nn.GroupNorm(num_groups=32, epsilon=1e-6)
+        return lambda: GroupNorm(num_groups=32, epsilon=1e-6)
     raise NotImplementedError(f"normalization '{norm}' unknown")

@@ -172,3 +172,132 @@ def test_upfirdn2d_pallas_up_rejects_ragged():
     k = jnp.ones((4, 4)) / 16
     with pytest.raises(ValueError, match="up-divisible"):
         upfirdn2d_pallas_up(x, k, up=4, pad=(4, 1))
+
+
+# ---------------------------------------------------------------------------
+# fused GroupNorm(+swish) (kernels/group_norm.py)
+# ---------------------------------------------------------------------------
+
+
+def _gn_params(rng, C):
+    s = jnp.asarray(1.0 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    b = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    return s, b
+
+
+@pytest.mark.parametrize("groups", [4, 8])
+def test_group_norm_reference_matches_flax(groups):
+    """The lax spec == flax nn.GroupNorm followed by swish."""
+    import flax.linen as nn
+
+    from iddiff.kernels import group_norm_act_reference
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 6, 5, 16)).astype(np.float32))
+    s, b = _gn_params(rng, 16)
+    want = nn.GroupNorm(num_groups=groups, epsilon=1e-6).apply(
+        {"params": {"scale": s, "bias": b}}, x)
+    want = want * jax.nn.sigmoid(want)
+    got = group_norm_act_reference(x, s, b, groups, 1e-6, "swish")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("act", [None, "swish"])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_group_norm_pallas_matches_reference(act, dtype):
+    """One-pass Pallas kernel (interpret mode) == the two-pass lax spec."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from iddiff.kernels.group_norm import (
+        _pallas_group_norm_act,
+        group_norm_act_reference,
+    )
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(3, 8, 8, 32)).astype(np.float32))
+    s, b = _gn_params(rng, 32)
+    want = group_norm_act_reference(
+        x.astype(dtype).astype(jnp.float32), s, b, 8, 1e-6, act)
+    with pltpu.force_tpu_interpret_mode():
+        got = _pallas_group_norm_act(x.astype(dtype), s, b, 8, 1e-6, act,
+                                     interpret=True)
+    assert got.dtype == dtype
+    tol = 1e-5 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), rtol=tol, atol=tol)
+
+
+def test_group_norm_act_gradient_matches_flax():
+    """custom_vjp wiring: d/d(x, scale, bias) equals autodiff of
+    flax GroupNorm + swish."""
+    import flax.linen as nn
+
+    from iddiff.kernels import group_norm_act
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 8)).astype(np.float32))
+    s, b = _gn_params(rng, 8)
+
+    def f_fused(x, s, b):
+        return jnp.sum(group_norm_act(x, s, b, 4, 1e-6, "swish") ** 2)
+
+    def f_flax(x, s, b):
+        y = nn.GroupNorm(num_groups=4, epsilon=1e-6).apply(
+            {"params": {"scale": s, "bias": b}}, x)
+        return jnp.sum((y * jax.nn.sigmoid(y)) ** 2)
+
+    np.testing.assert_allclose(float(f_fused(x, s, b)),
+                               float(f_flax(x, s, b)), rtol=1e-5)
+    g1 = jax.grad(f_fused, argnums=(0, 1, 2))(x, s, b)
+    g2 = jax.grad(f_flax, argnums=(0, 1, 2))(x, s, b)
+    for a, c in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_group_norm_module_param_tree_and_toggle():
+    """nn.GroupNorm -> iddiff GroupNorm swap keeps the param tree
+    (same 'GroupNorm_N/scale|bias' leaves, so old checkpoints restore)
+    and the enabled-flag toggle does not change numerics."""
+    import flax.linen as nn
+
+    from iddiff.kernels import set_fused_groupnorm
+    from iddiff.nn import ResnetBlockDDPM
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+    block = ResnetBlockDDPM(act=nn.swish, out_ch=16, dropout=0.0)
+    params = block.init(jax.random.PRNGKey(0), x)["params"]
+    assert set(params["GroupNorm_0"].keys()) == {"scale", "bias"}
+    assert params["GroupNorm_0"]["scale"].shape == (16,)
+    assert "GroupNorm_1" in params
+
+    y_off = block.apply({"params": params}, x)
+    set_fused_groupnorm(True)
+    try:
+        y_on = block.apply({"params": params}, x)
+    finally:
+        set_fused_groupnorm(False)
+    # CPU: both paths are the lax spec; the assert is that the toggle is
+    # safe to flip anywhere (TPU parity is covered by the interpret test)
+    np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_group_norm_module_5d():
+    """ddpm3D's (B, D, H, W, C) inputs route through the n-d lax path."""
+    import flax.linen as nn
+
+    from iddiff.nn import GroupNorm
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 3, 4, 4, 8)).astype(np.float32))
+    s, b = _gn_params(rng, 8)
+    got = GroupNorm(num_groups=4, epsilon=1e-5, act=nn.swish).apply(
+        {"params": {"scale": s, "bias": b}}, x)
+    want = nn.GroupNorm(num_groups=4, epsilon=1e-5).apply(
+        {"params": {"scale": s, "bias": b}}, x)
+    want = want * jax.nn.sigmoid(want)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
