@@ -14,6 +14,16 @@ is a TPU-first optimization, opt-in via `set_fused_groupnorm(True)` or
 IDDIFF_FUSED_GN=1 so checkpoints/numerics of existing runs are untouched
 (params are identical either way — see nn/normalization.GroupNorm).
 
+MEASURED VERDICT (v5e, scripts/check_fused_gn.py, 2026-08-17): the kernel
+compiles and matches the spec (max 6e-3 fp32 one-pass/rsqrt drift, 1e-5 on
+full-model outputs), but the d=1024 DDPM U-Net forward is ~0.67x WITH the
+kernel (38.0ms vs 25.3ms/fwd at B=128): XLA already fuses its two-pass
+GroupNorm into neighbouring elementwise ops, and pallas_call both blocks
+that fusion and serializes over the batch grid.  The flag therefore stays
+OFF by default — kept as a working example of a Mosaic-friendly grouped
+reduction (the (1,C)@(C,C) same-group matmul replaces the unsupported
+(C,)->(G,cg) shape cast) and for future shapes where XLA does worse.
+
 Backward: `jax.custom_vjp` whose bwd differentiates the pure-lax
 reference (recompute-from-x) — the fused forward targets the forward-only
 estimator hot path; training gradients are unchanged in value.
@@ -71,23 +81,27 @@ def _pallas_group_norm_act(x, scale, bias, num_groups: int, eps: float,
     def kernel(x_ref, s_ref, b_ref, o_ref):
         xs = x_ref[:].reshape(n, C)
         xf = xs.astype(jnp.float32)
-        # per-channel sums over the spatial axis, then fold channels into
-        # groups: (C,) -> (G, cg) -> (G,).  E[x] and E[x^2] in fp32.
-        csum = jnp.sum(xf, axis=0)
-        csum2 = jnp.sum(xf * xf, axis=0)
-        gsum = csum.reshape(num_groups, cg).sum(axis=1)
-        gsum2 = csum2.reshape(num_groups, cg).sum(axis=1)
-        cnt = jnp.float32(n * cg)
-        mean = gsum / cnt
-        var = gsum2 / cnt - mean * mean
-        inv = jax.lax.rsqrt(var + eps)
+        # per-channel sums over the spatial axis, kept as (1, C) row
+        # vectors.  Group aggregation is a matmul with the same-group
+        # averaging matrix A[c, c'] = [group(c) == group(c')] / (n·cg) —
+        # Mosaic has no (C,) -> (G, cg) shape cast, but (1,C)@(C,C) rides
+        # the MXU and broadcasts back to channels in the same op.
+        csum = jnp.sum(xf, axis=0, keepdims=True)
+        csum2 = jnp.sum(xf * xf, axis=0, keepdims=True)
+        row_g = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0) // cg
+        col_g = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1) // cg
+        A = (row_g == col_g).astype(jnp.float32) / jnp.float32(n * cg)
+        mean = jnp.dot(csum, A, preferred_element_type=jnp.float32)
+        mean2 = jnp.dot(csum2, A, preferred_element_type=jnp.float32)
+        var = mean2 - mean * mean
+        inv = jax.lax.rsqrt(var + eps)  # (1, C), constant within a group
         # per-channel affine folded with the group statistics:
         #   y = x * (scale * inv) + (bias - mean * scale * inv)
-        sf = s_ref[:].astype(jnp.float32).reshape(num_groups, cg)
-        bf = b_ref[:].astype(jnp.float32).reshape(num_groups, cg)
-        mul = (sf * inv[:, None]).reshape(C)
-        add = (bf - (mean * inv)[:, None] * sf).reshape(C)
-        y = xf * mul[None, :] + add[None, :]
+        sf = s_ref[:].astype(jnp.float32)[None, :]
+        bf = b_ref[:].astype(jnp.float32)[None, :]
+        mul = sf * inv
+        add = bf - mean * mul
+        y = xf * mul + add
         if act == "swish":
             y = y * jax.nn.sigmoid(y)
         o_ref[:] = y.astype(o_ref.dtype).reshape(1, H, W, C)
