@@ -277,3 +277,71 @@ def test_select_datapoints_is_seeded_permutation():
     assert np.isin(sel, data).all()
     # different seed, different draw
     assert not np.array_equal(sel, select_datapoints(data, 10, seed=7))
+
+
+def test_restore_which_selects_cadence(tmp_path):
+    """model.restore_which picks best vs last (run_lib._restore_eval_params);
+    the reference allows pointing at any .ckpt (dim_reduction.py:127) — with
+    directory keepers the selector is the equivalent."""
+    import dataclasses
+
+    import ml_collections
+    import orbax.checkpoint as ocp
+
+    from iddiff.data import create_datamodule
+    from iddiff.models import create_model
+    from iddiff.run_lib import _restore_eval_params
+    from iddiff.training.checkpoints import CheckpointKeeper
+    from iddiff.training.optim import make_optimizer
+    from iddiff.training.state import TrainState
+    from iddiff.training.trainer import example_init_inputs
+
+    d = 6
+    c = ml_collections.ConfigDict()
+    c.seed = 0
+    c.training = ml_collections.ConfigDict(dict(
+        batch_size=16, sde="vesde", continuous=True, workers=0))
+    c.validation = ml_collections.ConfigDict({"batch_size": 16, "workers": 0})
+    c.eval = ml_collections.ConfigDict({"batch_size": 16, "workers": 0})
+    c.data = ml_collections.ConfigDict(dict(
+        datamodule="KSphere", data_samples=64, n_spheres=1, ambient_dim=d,
+        manifold_dim=2, noise_std=0.0, embedding_type="first",
+        split=[0.8, 0.1, 0.1], return_labels=False, use_data_mean=False))
+    c.model = ml_collections.ConfigDict(dict(
+        name="fcn", state_size=d, hidden_layers=1, hidden_nodes=8,
+        dropout=0.0, sigma_max=2.0, sigma_min=1e-2, num_scales=10,
+        ema_rate=0.999, checkpoint_path=None))
+    c.optim = ml_collections.ConfigDict(dict(
+        weight_decay=0.0, optimizer="Adam", lr=1e-3, beta1=0.9, eps=1e-8,
+        warmup=0, grad_clip=-1.0))
+
+    dm = create_datamodule(c)
+    dm.setup()
+    model = create_model(c)
+    x, t = example_init_inputs(c, next(iter(dm.train_dataloader())))
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng, "dropout": rng}, x, t)["params"]
+    opt = make_optimizer(c)
+    state_a = TrainState.create(params, opt.init(params), rng)
+    state_b = dataclasses.replace(
+        state_a,
+        ema_params=jax.tree_util.tree_map(
+            lambda v: v + 1.0, state_a.ema_params),
+    )
+
+    wd = str(tmp_path / "run")
+    keeper = CheckpointKeeper(wd)
+    keeper.save_eval(1, state_a, eval_loss=0.5)       # best AND last @1
+    keeper.last_mgr.save(2, args=ocp.args.StandardSave(state_b))  # last @2
+    keeper.wait()
+
+    got_best = _restore_eval_params(c, model, dm, wd)
+    c.model.restore_which = "last"
+    got_last = _restore_eval_params(c, model, dm, wd)
+
+    leaf_a = jax.tree_util.tree_leaves(state_a.ema_params)[0]
+    leaf_best = jax.tree_util.tree_leaves(got_best)[0]
+    leaf_last = jax.tree_util.tree_leaves(got_last)[0]
+    np.testing.assert_allclose(np.asarray(leaf_best), np.asarray(leaf_a))
+    np.testing.assert_allclose(np.asarray(leaf_last),
+                               np.asarray(leaf_a) + 1.0)
