@@ -12,6 +12,7 @@ def get_config():
     if "compute_dtype" in c.model:
         del c.model.compute_dtype  # estimate in fp32
     c.model.checkpoint_path = "/root/repo/logs/blobs_paper/10"
+    c.model.restore_which = "last"  # newest step, not best-eval_loss
     import ml_collections
 
     if "dim_estimation" not in c:
