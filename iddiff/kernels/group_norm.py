@@ -55,18 +55,22 @@ def fused_groupnorm_enabled() -> bool:
 def group_norm_act_reference(x, scale, bias, num_groups: int, eps: float,
                              act: str | None):
     """Pure-lax GroupNorm(+act), numerically identical to flax
-    nn.GroupNorm followed by the activation (the spec for the kernel)."""
-    B, H, W, C = x.shape
+    nn.GroupNorm followed by the activation (the spec for the kernel).
+
+    Works for any rank ≥ 2 with trailing channels (NHWC images, the 3D
+    U-Net's NDHWC, ...).  Statistics are computed in float32 regardless of
+    x.dtype — flax promotes half-precision inputs the same way — and the
+    result is cast back to x.dtype."""
+    B, C = x.shape[0], x.shape[-1]
     cg = C // num_groups
-    xg = x.reshape(B, H * W, num_groups, cg)
-    mean = xg.mean(axis=(1, 3), keepdims=True)
-    var = ((xg - mean) ** 2).mean(axis=(1, 3), keepdims=True)
-    y = (xg - mean) / jnp.sqrt(var + eps)
-    y = y.reshape(B, H, W, C) * scale[None, None, None, :] \
-        + bias[None, None, None, :]
+    xf = x.astype(jnp.float32).reshape(B, -1, num_groups, cg)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=(1, 3), keepdims=True)
+    y = ((xf - mean) / jnp.sqrt(var + eps)).reshape(x.shape)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     if act == "swish":
         y = y * jax.nn.sigmoid(y)
-    return y
+    return y.astype(x.dtype)
 
 
 def _pallas_group_norm_act(x, scale, bias, num_groups: int, eps: float,
@@ -93,7 +97,9 @@ def _pallas_group_norm_act(x, scale, bias, num_groups: int, eps: float,
         A = (row_g == col_g).astype(jnp.float32) / jnp.float32(n * cg)
         mean = jnp.dot(csum, A, preferred_element_type=jnp.float32)
         mean2 = jnp.dot(csum2, A, preferred_element_type=jnp.float32)
-        var = mean2 - mean * mean
+        # clamp: one-pass E[x^2]-E[x]^2 can go (slightly) negative by
+        # cancellation when |mean| >> std, and rsqrt(<0) would be NaN
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
         inv = jax.lax.rsqrt(var + eps)  # (1, C), constant within a group
         # per-channel affine folded with the group statistics:
         #   y = x * (scale * inv) + (bias - mean * scale * inv)

@@ -55,23 +55,10 @@ class GroupNorm(nn.Module):
                 and (self.act is None or act_name)):
             return group_norm_act(
                 x, scale, bias, self.num_groups, self.epsilon, act_name)
+        # the rank-agnostic lax spec (fp32 statistics, like flax)
         y = group_norm_act_reference(
-            x, scale, bias, self.num_groups, self.epsilon, None) \
-            if x.ndim == 4 else _group_norm_nd(
-                x, scale, bias, self.num_groups, self.epsilon)
+            x, scale, bias, self.num_groups, self.epsilon, None)
         return self.act(y) if self.act is not None else y
-
-
-def _group_norm_nd(x, scale, bias, num_groups: int, eps: float):
-    """GroupNorm over all-but-(batch, channel) axes for non-4D inputs
-    (e.g. the 3D U-Net's (B, D, H, W, C))."""
-    B, C = x.shape[0], x.shape[-1]
-    cg = C // num_groups
-    xg = x.reshape(B, -1, num_groups, cg)
-    mean = xg.mean(axis=(1, 3), keepdims=True)
-    var = ((xg - mean) ** 2).mean(axis=(1, 3), keepdims=True)
-    y = ((xg - mean) / jnp.sqrt(var + eps)).reshape(x.shape)
-    return y * scale + bias
 
 
 class InstanceNorm2d(nn.Module):

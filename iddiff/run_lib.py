@@ -68,17 +68,26 @@ def _restore_eval_params(config, model, datamodule, workdir):
     # .ckpt (dim_reduction.py:127); with directory keepers the selector is
     # model.restore_which ('best' default, or 'last' for the newest step)
     which = config.model.get("restore_which", "best")
+    if which not in ("best", "last"):
+        raise ValueError(
+            f"model.restore_which must be 'best' or 'last', got '{which}'")
+    other = "last" if which == "best" else "best"
     try:
         state = keeper.restore(abstract, which=which)
     except Exception as e:  # fall back to the other cadence, then fail
         try:
-            state = keeper.restore(
-                abstract, which="last" if which == "best" else "best")
+            state = keeper.restore(abstract, which=other)
         except Exception:
             raise FileNotFoundError(
                 f"No checkpoint found under '{ckpt_path}' "
                 "(set config.model.checkpoint_path or train first)"
             ) from e
+        import logging
+
+        logging.getLogger("iddiff").warning(
+            "restore_which='%s' had no checkpoint under '%s'; restored "
+            "'%s' (step %d) instead", which, ckpt_path, other,
+            int(state.step))
     return state.ema_params
 
 

@@ -81,6 +81,8 @@ class CheckpointKeeper:
 
     def restore(self, abstract_state, step: int | None = None,
                 which: str = "last"):
+        if which not in ("best", "last"):
+            raise ValueError(f"which must be 'best' or 'last', got '{which}'")
         mgr = self.last_mgr if which == "last" else self.best_mgr
         if step is None:
             step = mgr.latest_step() if which == "last" else mgr.best_step()

@@ -119,6 +119,10 @@ class Trainer:
         # the paper ksphere B=500 config on an 8-way mesh).
         tb = int(self.datamodule.train_batch)
         self._train_pad = -(-tb // self._host_div) * self._host_div
+        # loop-invariant all-ones weights for already-full batches (any
+        # batch with lead != _train_pad is wrap-padded in fit() and gets a
+        # fresh zero-tail vector there)
+        self._full_weights = np.ones((self._train_pad,), np.float32)
         self.train_step = make_train_step(
             self.train_loss_fn, self.optimizer,
             ema_rate=float(config.model.get("ema_rate", 0.999)),
@@ -212,8 +216,10 @@ class Trainer:
                     batch, _ = pad_to_multiple(batch, self._train_pad)
                     padded_tail = max(padded_tail,
                                       self._train_pad - lead)
-                weights = np.zeros((self._train_pad,), np.float32)
-                weights[:lead] = 1.0
+                    weights = np.zeros((self._train_pad,), np.float32)
+                    weights[:lead] = 1.0
+                else:  # loop-invariant all-ones (the common, full batch)
+                    weights = self._full_weights
                 batch, weights = shard_batch(
                     self.mesh, (self._to_device(batch), weights))
                 if self.scalars_fn is not None:

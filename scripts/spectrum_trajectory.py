@@ -27,7 +27,14 @@ def main():
     truth = int(sys.argv[2]) if len(sys.argv) > 2 else None
     files = glob.glob(os.path.join(workdir, "svd", "steps_*.pkl"))
     files += glob.glob(os.path.join(workdir, "svd", "epoch_*.pkl"))
-    files.sort(key=lambda p: int(re.search(r"(?:steps|epoch)_(\d+)", p).group(1)))
+    # legacy epoch_<E> keys count epochs, steps_<S> keys count global
+    # steps — the numbers are not comparable, but all epoch-keyed pickles
+    # predate the step-keyed ones (the key changed in round 4), so sort
+    # epoch files first among themselves, then step files
+    files.sort(key=lambda p: (
+        0 if "epoch_" in os.path.basename(p) else 1,
+        int(re.search(r"(?:steps|epoch)_(\d+)", p).group(1)),
+    ))
     if not files:
         print(f"no spectra under {workdir}/svd")
         return
