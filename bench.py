@@ -53,9 +53,44 @@ def _timeit(f, repeats: int = 3):
     return min(times), float(np.mean(times)), float(np.std(times))
 
 
+def _probe_devices(timeout_s: float = 600.0):
+    """jax.devices() with a timeout: on the tunneled axon backend a relay
+    outage makes device init block FOREVER (observed 2026-08-17, round 4)
+    — a hung bench is worse than an honest error record."""
+    import threading
+
+    out = {}
+
+    def probe():
+        import jax
+
+        try:
+            out["devices"] = jax.devices()
+        except Exception as e:  # pragma: no cover - depends on backend
+            out["error"] = repr(e)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        out["error"] = f"device init did not complete in {timeout_s:.0f}s"
+    return out
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    probe = _probe_devices()
+    if "devices" not in probe:
+        print(json.dumps({
+            "metric": "mnist_ddpm_id_score_evals_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "score-evals/s (d=1024 DDPM U-Net, incl. spectrum)",
+            "vs_baseline": 0.0,
+            "error": f"TPU unreachable at bench time: {probe.get('error')}",
+        }))
+        sys.exit(1)
 
     _enable_compile_cache()
 
