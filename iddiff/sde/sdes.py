@@ -170,6 +170,19 @@ class VESDE(SDE):
     def prior_logp(self, z):
         return _gaussian_logp(z, self.sigma_max**2)
 
+    # NOTE: the reference's VESDE has its SMLD discretize commented out
+    # (sde_lib.py:381-389), so VESDE inherits the base Euler–Maruyama
+    # discretize; only cVESDE overrides it (sde_lib.py:437-445).
+
+
+class CVESDE(VESDE):
+    """Conditional VESDE (sde_lib.py:391-445): same math, conditional score.
+
+    The reverse SDE takes score_fn(x, y, t)."""
+
+    def reverse(self, score_fn, probability_flow=False):
+        return ConditionalReverseSDE(self, score_fn, probability_flow)
+
     def discretize(self, x, t):
         """SMLD (NCSN) discretization (sde_lib.py:437-445)."""
         timestep = (t * (self.N - 1) / self.T).astype(jnp.int32)
@@ -180,15 +193,6 @@ class VESDE(SDE):
         f = jnp.zeros_like(x)
         G = jnp.sqrt(sigma**2 - adjacent**2)
         return f, G
-
-
-class CVESDE(VESDE):
-    """Conditional VESDE (sde_lib.py:391-445): same math, conditional score.
-
-    The reverse SDE takes score_fn(x, y, t)."""
-
-    def reverse(self, score_fn, probability_flow=False):
-        return ConditionalReverseSDE(self, score_fn, probability_flow)
 
 
 class ConditionalReverseSDE(ReverseSDE):
