@@ -1,0 +1,177 @@
+"""Cross-framework parity: iddiff predictor/corrector steps vs the
+REFERENCE's literal torch implementations (sampling/predictors.py,
+sampling/correctors.py), on identical (x, t, z) with both RNG streams
+pinned to the same Gaussian draw.
+
+The score function on each side is built by that framework's own adapter
+(models/utils.py get_score_fn vs iddiff.models.score_fn.get_score_fn)
+around identical stub networks, so one predictor step exercises the whole
+L2→L4 stack.
+
+Skipped when /root/reference or torch is absent.
+"""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isfile(os.path.join(REF, "sampling", "predictors.py")),
+    reason="reference repo not available",
+)
+
+
+@pytest.fixture(scope="module")
+def ref_sampling():
+    if "pytorch_lightning" not in sys.modules:
+        pl_stub = types.ModuleType("pytorch_lightning")
+        pl_stub.LightningModule = torch.nn.Module
+        sys.modules["pytorch_lightning"] = pl_stub
+    sys.path.insert(0, REF)
+    try:
+        import sde_lib as ref_sde_lib
+        from models import utils as ref_mutils
+        from sampling import correctors as ref_correctors
+        from sampling import predictors as ref_predictors
+    finally:
+        sys.path.remove(REF)
+    return ref_predictors, ref_correctors, ref_sde_lib, ref_mutils
+
+
+class _TorchStub(torch.nn.Module):
+    def __init__(self, w):
+        super().__init__()
+        self.w = torch.nn.Parameter(torch.from_numpy(w))
+
+    def forward(self, x, labels):
+        return x * self.w + 0.01 * labels[:, None]
+
+
+def _flax_stub(w):
+    import flax.linen as nn
+
+    class FlaxStub(nn.Module):
+        @nn.compact
+        def __call__(self, x, labels, train=False):
+            ww = self.param("w", lambda k: jnp.asarray(w))
+            return x * ww + 0.01 * labels[:, None]
+
+    model = FlaxStub()
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, w.shape[0])), jnp.zeros((1,))
+    )["params"]
+    return model, params
+
+
+def _data(seed=0, n=5, d=4):
+    rng = np.random.default_rng(seed)
+    w = rng.normal(size=(d,)).astype(np.float32)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    # keep t strictly inside grid cells so .long() and int32-cast agree
+    t = (rng.integers(5, 700, size=(n,)) + 0.37).astype(np.float32) / 799.0
+    z = rng.normal(size=(n, d)).astype(np.float32)
+    return w, x, t, z
+
+
+def _sde_pair(name, ref_sde_lib):
+    from iddiff.sde import VESDE, VPSDE
+
+    if name == "vesde":
+        return (ref_sde_lib.VESDE(sigma_min=0.02, sigma_max=20.0, N=800),
+                VESDE(sigma_min=0.02, sigma_max=20.0, N=800))
+    return (ref_sde_lib.VPSDE(beta_min=0.1, beta_max=20.0, N=800),
+            VPSDE(beta_min=0.1, beta_max=20.0, N=800))
+
+
+def _both_steps(ref_sampling, monkeypatch, sde_name, seed, z_pin=True):
+    """Common setup: pinned z, both score stacks; returns a runner."""
+    ref_predictors, ref_correctors, ref_sde_lib, ref_mutils = ref_sampling
+    w, x, t, z = _data(seed)
+    ref_sde, got_sde = _sde_pair(sde_name, ref_sde_lib)
+    ref_score = ref_mutils.get_score_fn(
+        ref_sde, _TorchStub(w), conditional=False, train=False,
+        continuous=True)
+    from iddiff.models.score_fn import get_score_fn
+
+    model, params = _flax_stub(w)
+    got_score = get_score_fn(got_sde, model, params, conditional=False,
+                             train=False, continuous=True)
+    if z_pin:
+        monkeypatch.setattr(
+            torch, "randn_like", lambda b, **k: torch.from_numpy(z))
+        monkeypatch.setattr(
+            jax.random, "normal",
+            lambda key, shape, dtype=None: jnp.asarray(z))
+    return (ref_predictors, ref_correctors, ref_sde, got_sde,
+            ref_score, got_score, x, t)
+
+
+PRED_CASES = [
+    ("euler_maruyama", "vesde"), ("euler_maruyama", "vpsde"),
+    ("reverse_diffusion", "vesde"), ("reverse_diffusion", "vpsde"),
+    ("ancestral_sampling", "vesde"), ("ancestral_sampling", "vpsde"),
+    ("heun", "vesde"),
+]
+
+
+@pytest.mark.parametrize("pred_name,sde_name", PRED_CASES)
+def test_predictor_step_parity(ref_sampling, monkeypatch, pred_name,
+                               sde_name):
+    (ref_predictors, _, ref_sde, got_sde, ref_score, got_score,
+     x, t) = _both_steps(ref_sampling, monkeypatch, sde_name,
+                         seed=hash(pred_name) % 1000)
+
+    ref_cls = ref_predictors.get_predictor(pred_name)
+    kwargs = {"probability_flow": True} if pred_name == "heun" else {}
+    want_x, want_mean = ref_cls(ref_sde, ref_score, **kwargs).update_fn(
+        torch.from_numpy(x), torch.from_numpy(t))
+
+    from iddiff.sampling.predictors import get_predictor
+
+    step = get_predictor(pred_name)(got_sde, got_score, **kwargs)
+    got_x, got_mean = step(jax.random.PRNGKey(1), jnp.asarray(x),
+                           jnp.asarray(t))
+
+    np.testing.assert_allclose(np.asarray(got_mean),
+                               want_mean.detach().numpy(),
+                               rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_x), want_x.detach().numpy(),
+                               rtol=5e-4, atol=1e-5)
+
+
+CORR_CASES = [
+    ("langevin", "vesde"), ("langevin", "vpsde"), ("ald", "vesde"),
+]
+
+
+@pytest.mark.parametrize("corr_name,sde_name", CORR_CASES)
+def test_corrector_step_parity(ref_sampling, monkeypatch, corr_name,
+                               sde_name):
+    (_, ref_correctors, ref_sde, got_sde, ref_score, got_score,
+     x, t) = _both_steps(ref_sampling, monkeypatch, sde_name,
+                         seed=hash(corr_name) % 1000)
+
+    snr, n_steps = 0.16, 1  # one step so the pinned draw aligns
+    ref_cls = ref_correctors.get_corrector(corr_name)
+    want_x, want_mean = ref_cls(ref_sde, ref_score, snr, n_steps).update_fn(
+        torch.from_numpy(x), torch.from_numpy(t))
+
+    from iddiff.sampling.correctors import get_corrector
+
+    step = get_corrector(corr_name)(got_sde, got_score, snr, n_steps)
+    got_x, got_mean = step(jax.random.PRNGKey(1), jnp.asarray(x),
+                           jnp.asarray(t))
+
+    np.testing.assert_allclose(np.asarray(got_mean),
+                               want_mean.detach().numpy(),
+                               rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_x), want_x.detach().numpy(),
+                               rtol=5e-4, atol=1e-5)
