@@ -131,6 +131,98 @@ def test_score_adapter_parity(ref_modules, sde_name, continuous):
     np.testing.assert_allclose(got_score, ref_score, rtol=2e-4, atol=1e-5)
 
 
+class _TorchDictStub(torch.nn.Module):
+    """Conditional stub: input is a dict {'x','y'}; output a tensor (SR3)
+    or a dict (multi-SDE), mirroring how the reference's conditional nets
+    are fed through get_score_fn (models/utils.py:179-232)."""
+
+    def __init__(self, w, dict_out):
+        super().__init__()
+        self.w = torch.nn.Parameter(torch.from_numpy(w))
+        self.dict_out = dict_out
+
+    def forward(self, x, labels):
+        hx = x["x"] * self.w + 0.01 * labels[:, None]
+        hy = x["y"] * (2.0 * self.w) + 0.02 * labels[:, None]
+        if self.dict_out:
+            return {"x": hx, "y": hy}
+        return hx + 0.5 * hy
+
+
+def _flax_dict_stub(w, dict_out):
+    import flax.linen as nn
+
+    class FlaxDictStub(nn.Module):
+        @nn.compact
+        def __call__(self, x, labels, train=False):
+            ww = self.param("w", lambda k: jnp.asarray(w))
+            hx = x["x"] * ww + 0.01 * labels[:, None]
+            hy = x["y"] * (2.0 * ww) + 0.02 * labels[:, None]
+            if dict_out:
+                return {"x": hx, "y": hy}
+            return hx + 0.5 * hy
+
+    model = FlaxDictStub()
+    d = w.shape[0]
+    dummy = {"x": jnp.zeros((1, d)), "y": jnp.zeros((1, d))}
+    params = model.init(jax.random.PRNGKey(0), dummy, jnp.zeros((1,)))["params"]
+    return model, params
+
+
+@pytest.mark.parametrize("sde_kind,continuous", [
+    ("sr3_ve", True), ("sr3_ve", False),
+    ("sr3_vp", True), ("sr3_vp", False),
+    ("dict", True), ("dict", False),
+])
+def test_conditional_score_adapter_parity(ref_modules, sde_kind, continuous):
+    """Conditional branches incl. the reference's no-sign-flip quirk
+    (models/utils.py:179-232) and divide_by_sigmas (:50-74)."""
+    _, ref_sde_lib, ref_mutils = ref_modules
+    from iddiff.models.score_fn import get_score_fn
+    from iddiff.sde import CVESDE, VESDE, VPSDE
+
+    w, x, t, _ = _data(20)
+    y = np.random.default_rng(21).normal(size=x.shape).astype(np.float32)
+    # keep t strictly inside grid cells so round/long agree in discrete mode
+    t = ((np.round(t * 799.0) + 0.3) / 799.0).astype(np.float32)
+
+    if sde_kind == "sr3_ve":
+        ref_sde = ref_sde_lib.cVESDE(sigma_min=0.02, sigma_max=10.0, N=800)
+        got_sde = CVESDE(sigma_min=0.02, sigma_max=10.0, N=800)
+        dict_out = False
+    elif sde_kind == "sr3_vp":
+        ref_sde = ref_sde_lib.VPSDE(beta_min=0.1, beta_max=20.0, N=800)
+        got_sde = VPSDE(beta_min=0.1, beta_max=20.0, N=800)
+        dict_out = False
+    else:
+        ref_sde = {"x": ref_sde_lib.cVESDE(sigma_min=0.02, sigma_max=10.0, N=800),
+                   "y": ref_sde_lib.VESDE(sigma_min=0.05, sigma_max=5.0, N=800)}
+        got_sde = {"x": CVESDE(sigma_min=0.02, sigma_max=10.0, N=800),
+                   "y": VESDE(sigma_min=0.05, sigma_max=5.0, N=800)}
+        dict_out = True
+
+    ref_in = {"x": torch.from_numpy(x), "y": torch.from_numpy(y)}
+    want = ref_mutils.get_score_fn(
+        ref_sde, _TorchDictStub(w, dict_out), conditional=True, train=False,
+        continuous=continuous,
+    )(ref_in, torch.from_numpy(t))
+
+    model, params = _flax_dict_stub(w, dict_out)
+    got = get_score_fn(
+        got_sde, model, params, conditional=True, train=False,
+        continuous=continuous,
+    )({"x": jnp.asarray(x), "y": jnp.asarray(y)}, jnp.asarray(t))
+
+    if dict_out:
+        for k in ("x", "y"):
+            np.testing.assert_allclose(
+                np.asarray(got[k]), want[k].detach().numpy(),
+                rtol=2e-4, atol=1e-5)
+    else:
+        np.testing.assert_allclose(
+            np.asarray(got), want.detach().numpy(), rtol=2e-4, atol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # unconditional DSM loss (losses.py:163-188 vs iddiff/losses/dsm.py) with
 # both RNG streams pinned to identical (t, z)
