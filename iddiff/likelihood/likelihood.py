@@ -23,11 +23,16 @@ from iddiff.utils import batch_mul
 
 def get_likelihood_fn(sde, model, hutchinson_type: str = "Rademacher",
                       rtol: float = 1e-5, atol: float = 1e-5,
-                      eps: float = 1e-5, exact_divergence: bool = False):
+                      eps: float = 1e-5, exact_divergence: bool = False,
+                      bits_per_dim: bool = True):
     """Build `likelihood_fn(rng, params, data) -> (bpd, z, nfev)`.
 
-    bpd follows the reference's convention: nats → bits/dim with the
-    inverse-scaler offset omitted (data assumed already in model space).
+    Documented deviation: the reference's nats→bits/dim conversion is
+    commented out (likelihood.py:121-125), so it returns the raw negative
+    log-likelihood in nats; we default to true bits/dim
+    (nats / d / ln 2) and expose `bits_per_dim=False` for the reference's
+    literal behaviour.  The inverse-scaler offset is omitted (data assumed
+    already in model space).
     """
 
     def likelihood_fn(rng, params, data):
@@ -89,7 +94,7 @@ def get_likelihood_fn(sde, model, hutchinson_type: str = "Rademacher",
         delta_logp = result.y[B * d:]
         prior_logp = sde.prior_logp(z)
         nats = -(prior_logp + delta_logp)
-        bpd = nats / math.log(2) / d
+        bpd = nats / math.log(2) / d if bits_per_dim else nats
         return bpd, z, result.nfev
 
     return jax.jit(likelihood_fn)
