@@ -1,0 +1,11 @@
+from .torch_import import (
+    convert_ddpm_state_dict,
+    convert_fcn_state_dict,
+    convert_reference_checkpoint,
+)
+
+__all__ = [
+    "convert_ddpm_state_dict",
+    "convert_fcn_state_dict",
+    "convert_reference_checkpoint",
+]
