@@ -1,0 +1,68 @@
+#!/usr/bin/env bash
+# Round-4 chip sequencing (single TPU chip, tunnel may drop at any time):
+#   1. wait until blobs-10 reaches its 120k budget (watchdog keeps it alive
+#      across relay outages/client wedges)
+#   2. stop the blobs watchdog+trainer, run the 50-point blobs estimate,
+#      archive the spectra pickle
+#   3. resume squares-10 (500k budget) under a fresh watchdog; its
+#      in-training spectrum hook keeps logging 5-point estimates
+# Idempotent-ish: safe to restart; it re-derives state from metrics files.
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/chip_plan.log
+echo "$(date -u) chip_plan start" >> "$LOG"
+
+last_step() {  # last training step in a metrics.jsonl (0 if missing)
+  [ -f "$1" ] || { echo 0; return; }
+  tail -1 "$1" | sed -n 's/.*"step": \([0-9]*\).*/\1/p'
+}
+
+BLOBS_METRICS=logs/blobs_paper/10/metrics.jsonl
+TARGET=119999
+
+# ---- phase 1: wait for blobs to finish its budget -------------------------
+while true; do
+  S=$(last_step "$BLOBS_METRICS"); S=${S:-0}
+  if [ "$S" -ge "$TARGET" ]; then break; fi
+  # if both trainer and watchdog died (driver restart etc.), revive watchdog
+  WPID=$(cat /tmp/blobs10_watchdog.pid 2>/dev/null || true)
+  if [ -z "${WPID:-}" ] || ! kill -0 "$WPID" 2>/dev/null; then
+    echo "$(date -u) chip_plan: blobs watchdog dead at step $S -> revive" >> "$LOG"
+    STALL_S=1800 nohup bash cluster/watchdog.sh /tmp/blobs10.pid \
+      "$BLOBS_METRICS" cluster/runs/blobs10_run.py logs/blobs_paper/10 \
+      /tmp/blobs10 > /tmp/blobs10_watchdog.out 2>&1 &
+    echo $! > /tmp/blobs10_watchdog.pid
+  fi
+  sleep 300
+done
+echo "$(date -u) chip_plan: blobs reached $S -> estimate" >> "$LOG"
+
+# ---- phase 2: stop blobs, run the 50-point estimate ------------------------
+for PF in /tmp/blobs10_watchdog.pid /tmp/blobs10.pid; do
+  P=$(cat "$PF" 2>/dev/null || true)
+  [ -n "${P:-}" ] && kill "$P" 2>/dev/null
+done
+sleep 5
+FINAL=$(last_step "$BLOBS_METRICS")
+timeout 7200 python -u main.py --config cluster/runs/blobs10_estimate.py \
+  --mode manifold_dimension --workdir logs/blobs_paper/10 \
+  > /tmp/blobs10_estimate.log 2>&1
+RC=$?
+echo "$(date -u) chip_plan: blobs estimate rc=$RC" >> "$LOG"
+NEW=$(ls -t logs/blobs_paper/10/svd/*.pkl 2>/dev/null | head -1)
+if [ -n "${NEW:-}" ]; then
+  mkdir -p artifacts/blobs10_trajectory
+  cp "$NEW" "artifacts/blobs10_trajectory/estimate50_steps_${FINAL}.pkl"
+  echo "$(date -u) chip_plan: archived $NEW (step $FINAL)" >> "$LOG"
+fi
+
+# ---- phase 3: resume squares-10 under watchdog -----------------------------
+nohup python -u main.py --config cluster/runs/squares10_resume.py \
+  --mode train --workdir logs/squares_paper/10 --resume \
+  > /tmp/squares10_resume_r4.log 2>&1 &
+echo $! > /tmp/squares10.pid
+STALL_S=1800 nohup bash cluster/watchdog.sh /tmp/squares10.pid \
+  logs/squares_paper/10/metrics.jsonl cluster/runs/squares10_resume.py \
+  logs/squares_paper/10 /tmp/squares10 > /tmp/squares10_watchdog.out 2>&1 &
+echo $! > /tmp/squares10_watchdog.pid
+echo "$(date -u) chip_plan: squares resumed (trainer $(cat /tmp/squares10.pid))" >> "$LOG"
