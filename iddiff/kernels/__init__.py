@@ -1,4 +1,5 @@
-from .upfirdn2d import upfirdn2d, upfirdn2d_native, upsample_2d, downsample_2d
+from .upfirdn2d import (upfirdn2d, upfirdn2d_native, upsample_2d,
+                        downsample_2d, conv_downsample_blur)
 from .fused_act import fused_leaky_relu
 from .group_norm import (
     fused_groupnorm_enabled,
@@ -12,6 +13,7 @@ __all__ = [
     "upfirdn2d_native",
     "upsample_2d",
     "downsample_2d",
+    "conv_downsample_blur",
     "fused_leaky_relu",
     "fused_groupnorm_enabled",
     "group_norm_act",

@@ -368,3 +368,19 @@ def downsample_2d(x, k=None, factor=2, gain=1):
     k = _setup_kernel(k) * gain
     p = k.shape[0] - factor
     return upfirdn2d_fused(x, k, 1, factor, ((p + 1) // 2, p // 2))
+
+
+def conv_downsample_blur(x, k=None, factor=2, gain=1, conv_size=3):
+    """FIR pre-blur for the reference's fused conv+downsample
+    (conv_downsample_2d, models/up_or_down_sampling.py:141-177), NHWC.
+
+    The reference op is mathematically conv2d-then-FIR-downsample, computed
+    as one full-resolution FIR pass followed by a strided VALID conv; this
+    returns the padded/blurred tensor so the caller's
+    `Conv(strides=factor, padding='VALID')` reproduces it exactly
+    (incl. borders — padding happens ONCE here, not per-op)."""
+    if k is None:
+        k = [1] * factor
+    k = _setup_kernel(k) * gain
+    p = (k.shape[0] - factor) + (conv_size - 1)
+    return upfirdn2d(x, k, 1, 1, ((p + 1) // 2, p // 2))

@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from iddiff.kernels import upsample_2d, downsample_2d
+from iddiff.kernels import upsample_2d, downsample_2d, conv_downsample_blur
 from iddiff.nn.normalization import GroupNorm
 
 
@@ -168,8 +168,12 @@ class Downsample(nn.Module):
         out_ch = self.out_ch or C
         if self.fir:
             if self.with_conv:
-                h = downsample_2d(x, k=list(self.fir_kernel), factor=2)
-                h = conv3x3(out_ch)(h)
+                # reference fused conv_downsample_2d semantics
+                # (up_or_down_sampling.py:141-177): conv THEN FIR-downsample,
+                # computed as one full-res FIR blur + strided VALID conv
+                h = conv_downsample_blur(x, k=list(self.fir_kernel), factor=2)
+                h = nn.Conv(out_ch, (3, 3), strides=(2, 2), padding="VALID",
+                            kernel_init=default_init())(h)
             else:
                 h = downsample_2d(x, k=list(self.fir_kernel), factor=2)
         else:

@@ -133,3 +133,63 @@ def test_upsample_downsample_roundtrip_matches_reference(
         jnp.asarray(np.transpose(x, (0, 2, 3, 1))), k=list(k1), factor=2)
     got = np.transpose(np.asarray(got), (0, 3, 1, 2))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def ref_up_or_down_sampling(ref_upfirdn2d_native):
+    """Exec the reference's up_or_down_sampling.py with upfirdn2d bound to
+    the torch-native fallback (the module-level `from op import upfirdn2d`
+    would JIT-compile CUDA)."""
+    import ast as _ast
+
+    def _upfirdn(input, kernel, up=1, down=1, pad=(0, 0)):
+        return ref_upfirdn2d_native(
+            input, kernel, up, up, down, down, pad[0], pad[1], pad[0], pad[1])
+
+    path = os.path.join(REF, "models", "up_or_down_sampling.py")
+    with open(path) as f:
+        src = f.read()
+    ns = {"torch": torch, "F": torch.nn.functional, "np": np,
+          "upfirdn2d": _upfirdn, "nn": torch.nn}
+    tree = _ast.parse(src)
+    keep = [n for n in tree.body
+            if isinstance(n, (_ast.FunctionDef, _ast.ClassDef))]
+    exec(compile(_ast.Module(body=keep, type_ignores=[]), path, "exec"), ns)
+    return ns
+
+
+def test_fir_conv_downsample_matches_reference(ref_up_or_down_sampling):
+    """Downsample(fir=True, with_conv=True) == the reference's LIVE fused
+    conv_downsample_2d (up_or_down_sampling.py:141-177): conv2d THEN
+    FIR-downsample, padding applied once. (The fused UP path,
+    upsample_conv_2d, cannot execute in torch at all — negative-step
+    slicing at up_or_down_sampling.py:126 plus a 4-element conv_transpose2d
+    stride — so iddiff's Upsample keeps the docstring semantics
+    'upsample_2d then conv', which matches the fused op in the interior.)"""
+    import jax
+    from iddiff.nn import Downsample
+
+    conv_downsample_2d = ref_up_or_down_sampling["conv_downsample_2d"]
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 3, 8, 8)).astype(np.float32)  # NCHW
+    w = rng.normal(size=(5, 3, 3, 3)).astype(np.float32)  # OIHW
+    k = (1, 3, 3, 1)
+
+    want = conv_downsample_2d(
+        torch.from_numpy(x), torch.from_numpy(w), k=list(k)).numpy()
+
+    layer = Downsample(with_conv=True, fir=True, fir_kernel=k, out_ch=5)
+    params = layer.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))))["params"]
+    # install the torch weights: OIHW -> HWIO, zero bias (the reference
+    # functional op has no bias)
+    params = dict(params)
+    params["Conv_0"] = {
+        "kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),
+        "bias": jnp.zeros((5,), jnp.float32),
+    }
+    got = layer.apply({"params": params},
+                      jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
