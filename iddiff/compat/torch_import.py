@@ -183,6 +183,106 @@ def convert_fcn_state_dict(state_dict: dict, config) -> dict:
     return {"net": net}
 
 
+def _torch_leaf_groups(state_dict):
+    """Group an ORDERED torch state_dict into per-leaf-module param dicts,
+    preserving registration order (a leaf's params are registered
+    back-to-back, so consecutive keys with the same prefix form one leaf)."""
+    groups = []
+    for key, tensor in state_dict.items():
+        prefix, _, leaf = key.rpartition(".")
+        if groups and groups[-1][0] == prefix:
+            groups[-1][1][leaf] = tensor
+        else:
+            groups.append((prefix, {leaf: tensor}))
+    return groups
+
+
+def _convert_torch_leaf(leaves: dict, flax_param_names: set, prefix: str):
+    """Convert one torch leaf-module's params to the flax leaf layout."""
+    if flax_param_names in ({"kernel", "bias"}, {"kernel"}):
+        w = _np(leaves["weight"])
+        out = {"kernel": w.transpose(2, 3, 1, 0) if w.ndim == 4 else w.T}
+        if "bias" in flax_param_names:
+            out["bias"] = _np(leaves["bias"])
+        return out
+    if flax_param_names == {"scale", "bias"}:
+        return _groupnorm(leaves["weight"], leaves["bias"])
+    if flax_param_names == {"W", "b"}:
+        return {"W": _np(leaves["W"]), "b": _np(leaves["b"])}
+    if flax_param_names == {"W"}:
+        return {"W": _np(leaves["W"])}
+    raise ValueError(
+        f"don't know how to fill flax leaf {sorted(flax_param_names)} "
+        f"from torch module '{prefix}' with params {sorted(leaves)}")
+
+
+def convert_by_structure(state_dict: dict, model, example_args) -> dict:
+    """Generic torch->flax conversion by zipping BOTH frameworks' leaf
+    modules in order.
+
+    Works for any model whose flax __call__ order equals the reference's
+    module registration order — true for the module-list U-Nets (ddpm,
+    ncsnpp, ncsnv2, ...) whose constructors mirror their forward walk.
+    The torch side is read straight from the ordered state_dict; the flax
+    side from Module.module_paths (DFS call order).  Every leaf is
+    shape-checked against a fresh init; misalignment raises instead of
+    silently mis-assigning.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    init_vars = model.init(jax.random.PRNGKey(0), *example_args)
+    init_params = init_vars["params"]
+    paths = model.module_paths(jax.random.PRNGKey(0), *example_args)
+
+    def node_at(tree, path):
+        node = tree
+        for part in path.split("/"):
+            if part:
+                node = node.get(part) if isinstance(node, dict) else None
+            if node is None:
+                return None
+        return node
+
+    flax_leaves = []  # (path, {name: shape})
+    for path in paths:
+        if not path:
+            continue
+        node = node_at(init_params, path)
+        if not isinstance(node, dict):
+            continue
+        direct = {k: v for k, v in node.items() if hasattr(v, "shape")}
+        if direct:
+            flax_leaves.append((path, {k: v.shape for k, v in direct.items()}))
+
+    torch_leaves = _torch_leaf_groups(state_dict)
+    if len(torch_leaves) != len(flax_leaves):
+        t_names = [p for p, _ in torch_leaves]
+        f_names = [p for p, _ in flax_leaves]
+        raise ValueError(
+            f"leaf-count mismatch: torch has {len(torch_leaves)} "
+            f"param-bearing modules, flax init has {len(flax_leaves)}.\n"
+            f"torch: {t_names[:8]}...\nflax: {f_names[:8]}...")
+
+    import copy
+
+    out = copy.deepcopy(jax.tree_util.tree_map(lambda x: x, init_params))
+    for (t_prefix, t_leaves), (f_path, f_shapes) in zip(torch_leaves,
+                                                        flax_leaves):
+        converted = _convert_torch_leaf(t_leaves, set(f_shapes), t_prefix)
+        for name, arr in converted.items():
+            if tuple(arr.shape) != tuple(f_shapes[name]):
+                raise ValueError(
+                    f"shape mismatch at torch '{t_prefix}' -> flax "
+                    f"'{f_path}/{name}': {arr.shape} vs {f_shapes[name]}")
+        node = out
+        parts = f_path.split("/")
+        for part in parts[:-1]:
+            node = node[part]
+        node[parts[-1]] = {k: jnp.asarray(v) for k, v in converted.items()}
+    return out
+
+
 def convert_reference_checkpoint(path_or_state, config,
                                  model_name: str | None = None) -> dict:
     """Convert a reference Lightning .ckpt (or raw state_dict) to flax params.
@@ -206,5 +306,17 @@ def convert_reference_checkpoint(path_or_state, config,
         return convert_ddpm_state_dict(state, config)
     if name.startswith("fcn"):
         return convert_fcn_state_dict(state, config)
+    if name.startswith("ncsnpp"):
+        import jax.numpy as jnp
+
+        from iddiff.models import create_model
+
+        model = create_model(config)
+        size = config.data.get("effective_image_size",
+                               config.data.image_size)
+        ch = config.model.get("input_channels", config.data.num_channels)
+        example = (jnp.zeros((1, size, size, ch)), jnp.zeros((1,)))
+        return convert_by_structure(state, model, example)
     raise NotImplementedError(
-        f"no torch->flax converter for model '{name}' (supported: ddpm, fcn)")
+        f"no torch->flax converter for model '{name}' "
+        f"(supported: ddpm, fcn, ncsnpp)")

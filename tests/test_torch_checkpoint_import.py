@@ -152,3 +152,83 @@ def test_fcn_checkpoint_import_forward_parity(ref_models):
     got = np.asarray(model.apply({"params": params}, jnp.asarray(x),
                                  jnp.asarray(t)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def ref_ncsnpp(ref_models):
+    """Import the reference NCSN++; `from op import upfirdn2d`
+    (up_or_down_sampling.py:10) would JIT-compile CUDA, so 'op' is stubbed
+    with the torch-native fallback extracted from op/upfirdn2d.py."""
+    import ast
+
+    ns = {"torch": torch, "F": torch.nn.functional}
+    with open(os.path.join(REF, "op", "upfirdn2d.py")) as f:
+        tree = ast.parse(f.read())
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name == "upfirdn2d_native":
+            exec(compile(ast.Module(body=[node], type_ignores=[]),
+                         "upfirdn2d", "exec"), ns)
+    native = ns["upfirdn2d_native"]
+
+    def _upfirdn(input, kernel, up=1, down=1, pad=(0, 0)):
+        return native(input, kernel, up, up, down, down,
+                      pad[0], pad[1], pad[0], pad[1])
+
+    if "op" not in sys.modules:
+        op_stub = types.ModuleType("op")
+        op_stub.upfirdn2d = _upfirdn
+        sys.modules["op"] = op_stub
+    sys.path.insert(0, REF)
+    try:
+        from models import ncsnpp as ref_ncsnpp_mod
+    finally:
+        sys.path.remove(REF)
+    return ref_ncsnpp_mod
+
+
+def _ncsnpp_config(progressive=False):
+    c = ml_collections.ConfigDict()
+    c.model = ml_collections.ConfigDict(dict(
+        name="ncsnpp", nf=32, ch_mult=(1, 2), num_res_blocks=2,
+        attn_resolutions=(8,), dropout=0.0, resamp_with_conv=True,
+        conditional=True, fir=True, fir_kernel=[1, 3, 3, 1],
+        skip_rescale=True, resblock_type="biggan",
+        progressive="output_skip" if progressive else "none",
+        progressive_input="input_skip" if progressive else "none",
+        embedding_type="fourier", fourier_scale=16.0, init_scale=1e-2,
+        progressive_combine="sum", nonlinearity="swish",
+        input_channels=3, output_channels=3, num_scales=1000,
+        ema_rate=0.999,
+    ))
+    c.data = ml_collections.ConfigDict(dict(
+        image_size=16, effective_image_size=16, centered=True,
+        num_channels=3,
+    ))
+    c.training = ml_collections.ConfigDict(dict(continuous=True))
+    return c
+
+
+@pytest.mark.parametrize("progressive", [False, True])
+def test_ncsnpp_checkpoint_import_forward_parity(ref_ncsnpp, progressive):
+    """Structural converter: reference NCSN++ (biggan + FIR + skip_rescale,
+    optionally progressive input_skip/output_skip pyramids) ports to flax
+    and reproduces the torch forward."""
+    from iddiff.compat import convert_reference_checkpoint
+    from iddiff.models import create_model
+
+    config = _ncsnpp_config(progressive)
+    torch.manual_seed(3 + progressive)
+    ref_net = ref_ncsnpp.NCSNpp(config).eval()
+
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(2, 3, 16, 16)).astype(np.float32)
+    t = np.asarray([0.21, 0.87], dtype=np.float32)
+    with torch.no_grad():
+        want = ref_net(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+
+    params = convert_reference_checkpoint(ref_net.state_dict(), config)
+    model = create_model(config)
+    got = model.apply({"params": params},
+                      jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t))
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-4)
