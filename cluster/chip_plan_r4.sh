@@ -6,15 +6,43 @@
 #      archive the spectra pickle
 #   3. resume squares-10 (500k budget) under a fresh watchdog; its
 #      in-training spectrum hook keeps logging 5-point estimates
-# Idempotent-ish: safe to restart; it re-derives state from metrics files.
+# Safe to restart: phases are guarded by on-disk state (metrics step,
+# archived artifact, live pidfiles), so a rerun skips completed work.
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/chip_plan.log
 echo "$(date -u) chip_plan start" >> "$LOG"
 
+# a stale stop file would make every watchdog exit within 120 s
+rm -f "${STOP_FILE:-/tmp/iddiff_watchdog.stop}"
+
 last_step() {  # last training step in a metrics.jsonl (0 if missing)
   [ -f "$1" ] || { echo 0; return; }
   tail -1 "$1" | sed -n 's/.*"step": \([0-9]*\).*/\1/p'
+}
+
+alive() {  # alive <pidfile>
+  local P
+  P=$(cat "$1" 2>/dev/null) || return 1
+  [ -n "$P" ] && kill -0 "$P" 2>/dev/null
+}
+
+kill_wait() {  # kill_wait <pidfile>  — TERM, then KILL, wait until gone
+  local P
+  P=$(cat "$1" 2>/dev/null) || return 0
+  [ -n "$P" ] || return 0
+  kill "$P" 2>/dev/null
+  for _ in $(seq 1 10); do
+    kill -0 "$P" 2>/dev/null || return 0
+    sleep 2
+  done
+  kill -9 "$P" 2>/dev/null   # wedged tunnel clients ignore TERM
+  for _ in $(seq 1 10); do
+    kill -0 "$P" 2>/dev/null || return 0
+    sleep 2
+  done
+  echo "$(date -u) chip_plan: WARNING pid $P from $1 survived kill -9" >> "$LOG"
+  return 1
 }
 
 BLOBS_METRICS=logs/blobs_paper/10/metrics.jsonl
@@ -24,9 +52,7 @@ TARGET=119999
 while true; do
   S=$(last_step "$BLOBS_METRICS"); S=${S:-0}
   if [ "$S" -ge "$TARGET" ]; then break; fi
-  # if both trainer and watchdog died (driver restart etc.), revive watchdog
-  WPID=$(cat /tmp/blobs10_watchdog.pid 2>/dev/null || true)
-  if [ -z "${WPID:-}" ] || ! kill -0 "$WPID" 2>/dev/null; then
+  if ! alive /tmp/blobs10_watchdog.pid; then
     echo "$(date -u) chip_plan: blobs watchdog dead at step $S -> revive" >> "$LOG"
     STALL_S=1800 nohup bash cluster/watchdog.sh /tmp/blobs10.pid \
       "$BLOBS_METRICS" cluster/runs/blobs10_run.py logs/blobs_paper/10 \
@@ -35,34 +61,42 @@ while true; do
   fi
   sleep 300
 done
-echo "$(date -u) chip_plan: blobs reached $S -> estimate" >> "$LOG"
+echo "$(date -u) chip_plan: blobs reached $S" >> "$LOG"
 
 # ---- phase 2: stop blobs, run the 50-point estimate ------------------------
-for PF in /tmp/blobs10_watchdog.pid /tmp/blobs10.pid; do
-  P=$(cat "$PF" 2>/dev/null || true)
-  [ -n "${P:-}" ] && kill "$P" 2>/dev/null
-done
-sleep 5
+kill_wait /tmp/blobs10_watchdog.pid
+kill_wait /tmp/blobs10.pid
 FINAL=$(last_step "$BLOBS_METRICS")
-timeout 7200 python -u main.py --config cluster/runs/blobs10_estimate.py \
-  --mode manifold_dimension --workdir logs/blobs_paper/10 \
-  > /tmp/blobs10_estimate.log 2>&1
-RC=$?
-echo "$(date -u) chip_plan: blobs estimate rc=$RC" >> "$LOG"
-NEW=$(ls -t logs/blobs_paper/10/svd/*.pkl 2>/dev/null | head -1)
-if [ -n "${NEW:-}" ]; then
-  mkdir -p artifacts/blobs10_trajectory
-  cp "$NEW" "artifacts/blobs10_trajectory/estimate50_steps_${FINAL}.pkl"
-  echo "$(date -u) chip_plan: archived $NEW (step $FINAL)" >> "$LOG"
+ART="artifacts/blobs10_trajectory/estimate50_steps_${FINAL}.pkl"
+if [ -f "$ART" ]; then
+  echo "$(date -u) chip_plan: estimate artifact $ART exists -> skip" >> "$LOG"
+else
+  timeout 7200 python -u main.py --config cluster/runs/blobs10_estimate.py \
+    --mode manifold_dimension --workdir logs/blobs_paper/10 \
+    > /tmp/blobs10_estimate.log 2>&1
+  RC=$?
+  echo "$(date -u) chip_plan: blobs estimate rc=$RC" >> "$LOG"
+  NEW=$(ls -t logs/blobs_paper/10/svd/*.pkl 2>/dev/null | head -1)
+  if [ "$RC" = "0" ] && [ -n "${NEW:-}" ]; then
+    mkdir -p artifacts/blobs10_trajectory
+    cp "$NEW" "$ART"
+    echo "$(date -u) chip_plan: archived $NEW -> $ART" >> "$LOG"
+  else
+    echo "$(date -u) chip_plan: estimate FAILED (rc=$RC) — continuing to squares; rerun manually" >> "$LOG"
+  fi
 fi
 
-# ---- phase 3: resume squares-10 under watchdog -----------------------------
-nohup python -u main.py --config cluster/runs/squares10_resume.py \
-  --mode train --workdir logs/squares_paper/10 --resume \
-  > /tmp/squares10_resume_r4.log 2>&1 &
-echo $! > /tmp/squares10.pid
-STALL_S=1800 nohup bash cluster/watchdog.sh /tmp/squares10.pid \
-  logs/squares_paper/10/metrics.jsonl cluster/runs/squares10_resume.py \
-  logs/squares_paper/10 /tmp/squares10 > /tmp/squares10_watchdog.out 2>&1 &
-echo $! > /tmp/squares10_watchdog.pid
-echo "$(date -u) chip_plan: squares resumed (trainer $(cat /tmp/squares10.pid))" >> "$LOG"
+# ---- phase 3: resume squares-10 under watchdog (skip if already running) ---
+if alive /tmp/squares10.pid || alive /tmp/squares10_watchdog.pid; then
+  echo "$(date -u) chip_plan: squares already supervised -> skip launch" >> "$LOG"
+else
+  nohup python -u main.py --config cluster/runs/squares10_resume.py \
+    --mode train --workdir logs/squares_paper/10 --resume \
+    > /tmp/squares10_resume_r4.log 2>&1 &
+  echo $! > /tmp/squares10.pid
+  STALL_S=1800 nohup bash cluster/watchdog.sh /tmp/squares10.pid \
+    logs/squares_paper/10/metrics.jsonl cluster/runs/squares10_resume.py \
+    logs/squares_paper/10 /tmp/squares10 > /tmp/squares10_watchdog.out 2>&1 &
+  echo $! > /tmp/squares10_watchdog.pid
+  echo "$(date -u) chip_plan: squares resumed (trainer $(cat /tmp/squares10.pid))" >> "$LOG"
+fi

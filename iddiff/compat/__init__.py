@@ -1,5 +1,6 @@
 from .torch_import import (
     convert_by_structure,
+    extract_ema_state_dict,
     convert_ddpm_state_dict,
     convert_fcn_state_dict,
     convert_reference_checkpoint,
@@ -7,6 +8,7 @@ from .torch_import import (
 
 __all__ = [
     "convert_by_structure",
+    "extract_ema_state_dict",
     "convert_ddpm_state_dict",
     "convert_fcn_state_dict",
     "convert_reference_checkpoint",

@@ -204,6 +204,10 @@ def _convert_torch_leaf(leaves: dict, flax_param_names: set, prefix: str):
         out = {"kernel": w.transpose(2, 3, 1, 0) if w.ndim == 4 else w.T}
         if "bias" in flax_param_names:
             out["bias"] = _np(leaves["bias"])
+        elif "bias" in leaves:
+            raise ValueError(
+                f"torch module '{prefix}' has a bias but the flax leaf is "
+                f"bias-free (use_bias=False) — refusing to drop it silently")
         return out
     if flax_param_names == {"scale", "bias"}:
         return _groupnorm(leaves["weight"], leaves["bias"])
@@ -264,9 +268,8 @@ def convert_by_structure(state_dict: dict, model, example_args) -> dict:
             f"param-bearing modules, flax init has {len(flax_leaves)}.\n"
             f"torch: {t_names[:8]}...\nflax: {f_names[:8]}...")
 
-    import copy
-
-    out = copy.deepcopy(jax.tree_util.tree_map(lambda x: x, init_params))
+    # tree_map(identity) rebuilds fresh mutable dicts; leaves are overwritten
+    out = jax.tree_util.tree_map(lambda x: x, init_params)
     for (t_prefix, t_leaves), (f_path, f_shapes) in zip(torch_leaves,
                                                         flax_leaves):
         converted = _convert_torch_leaf(t_leaves, set(f_shapes), t_prefix)
@@ -283,12 +286,46 @@ def convert_by_structure(state_dict: dict, model, example_args) -> dict:
     return out
 
 
+def extract_ema_state_dict(checkpoint: dict) -> dict | None:
+    """Rebuild a NAMED state_dict holding the EMA weights from a reference
+    Lightning checkpoint.
+
+    The reference's EMAOptimizer stores the EMA shadow as a flat tuple in
+    `parameters()` order inside `optimizer_states`
+    (lightning_callbacks/ema.py:300-325); `parameters()` order equals
+    state_dict key order for the supported families (no buffers), so the
+    tuple can be re-keyed by zipping.  Returns None when the checkpoint has
+    no EMA state.
+    """
+    sd = checkpoint.get("state_dict")
+    if sd is None:
+        return None
+    ema = None
+    for st in checkpoint.get("optimizer_states") or []:
+        if isinstance(st, dict) and "ema" in st:
+            ema = st["ema"]
+            break
+    if ema is None:
+        return None
+    names = list(sd)
+    if len(names) != len(ema):
+        raise ValueError(
+            f"EMA tuple has {len(ema)} tensors but state_dict has "
+            f"{len(names)} entries — buffers present? Cannot re-key safely.")
+    return dict(zip(names, ema))
+
+
 def convert_reference_checkpoint(path_or_state, config,
-                                 model_name: str | None = None) -> dict:
+                                 model_name: str | None = None,
+                                 prefer_ema: bool = True) -> dict:
     """Convert a reference Lightning .ckpt (or raw state_dict) to flax params.
 
     Lightning checkpoints nest the net under 'state_dict' with a
     'score_model.' prefix (lightning_modules/BaseSdeGenerativeModel.py:21).
+    With prefer_ema=True (default) the EMA shadow weights stored by the
+    reference's EMAOptimizer are used when present — these are the weights
+    the reference itself evaluates/samples with (ema.py:65-90); pass
+    prefer_ema=False for the raw training weights.
     """
     state = path_or_state
     if isinstance(state, (str, bytes)):
@@ -296,7 +333,8 @@ def convert_reference_checkpoint(path_or_state, config,
 
         state = torch.load(state, map_location="cpu", weights_only=False)
     if isinstance(state, dict) and "state_dict" in state:
-        state = state["state_dict"]
+        ema_sd = extract_ema_state_dict(state) if prefer_ema else None
+        state = ema_sd if ema_sd is not None else state["state_dict"]
     state = {
         (k[len("score_model."):] if k.startswith("score_model.") else k): v
         for k, v in state.items()

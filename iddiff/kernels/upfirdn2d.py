@@ -383,4 +383,4 @@ def conv_downsample_blur(x, k=None, factor=2, gain=1, conv_size=3):
         k = [1] * factor
     k = _setup_kernel(k) * gain
     p = (k.shape[0] - factor) + (conv_size - 1)
-    return upfirdn2d(x, k, 1, 1, ((p + 1) // 2, p // 2))
+    return upfirdn2d_fused(x, k, 1, 1, ((p + 1) // 2, p // 2))

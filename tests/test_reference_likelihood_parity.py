@@ -13,7 +13,6 @@ Skipped when /root/reference or torch is absent.
 import math
 import os
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -23,7 +22,7 @@ torch = pytest.importorskip("torch")
 
 import jax.numpy as jnp  # noqa: E402
 
-REF = "/root/reference"
+from _reference_stubs import REF, install_pl_stub  # noqa: E402
 pytestmark = pytest.mark.skipif(
     not os.path.isfile(os.path.join(REF, "likelihood.py")),
     reason="reference repo not available",
@@ -37,10 +36,7 @@ SMIN, SMAX, N = 0.01, 25.0, 1000
 
 @pytest.fixture(scope="module")
 def ref_likelihood():
-    if "pytorch_lightning" not in sys.modules:
-        pl_stub = types.ModuleType("pytorch_lightning")
-        pl_stub.LightningModule = torch.nn.Module
-        sys.modules["pytorch_lightning"] = pl_stub
+    install_pl_stub(torch)
     sys.path.insert(0, REF)
     try:
         import likelihood as ref_likelihood_mod

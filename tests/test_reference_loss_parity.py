@@ -26,11 +26,23 @@ torch = pytest.importorskip("torch")
 
 import jax.numpy as jnp  # noqa: E402
 
-REF = "/root/reference"
+from _reference_stubs import (  # noqa: E402
+    REF,
+    install_pl_stub,
+    make_data as _data,
+    make_flax_stub as _flax_stub,
+    make_sde_pair as _sde_pair,
+    make_torch_stub,
+)
+
 pytestmark = pytest.mark.skipif(
     not os.path.isfile(os.path.join(REF, "losses.py")),
     reason="reference repo not available",
 )
+
+
+def _TorchStub(w):
+    return make_torch_stub(torch, w)
 
 
 @pytest.fixture(scope="module")
@@ -38,12 +50,7 @@ def ref_modules():
     # get_score_fn lazily imports models.ksphere_gt (models/utils.py:169),
     # whose class statement subclasses pl.LightningModule; stub the absent
     # pytorch_lightning with torch.nn.Module so the literal code runs.
-    if "pytorch_lightning" not in sys.modules:
-        import types
-
-        pl_stub = types.ModuleType("pytorch_lightning")
-        pl_stub.LightningModule = torch.nn.Module
-        sys.modules["pytorch_lightning"] = pl_stub
+    install_pl_stub(torch)
     sys.path.insert(0, REF)
     try:
         import losses as ref_losses
@@ -52,55 +59,6 @@ def ref_modules():
     finally:
         sys.path.remove(REF)
     return ref_losses, ref_sde_lib, ref_mutils
-
-
-# ---------------------------------------------------------------------------
-# stub score networks: identical math in torch and flax
-# out = w ⊙ x + 0.01 · labels[:, None]
-# ---------------------------------------------------------------------------
-
-class _TorchStub(torch.nn.Module):
-    def __init__(self, w):
-        super().__init__()
-        self.w = torch.nn.Parameter(torch.from_numpy(w))
-
-    def forward(self, x, labels):
-        return x * self.w + 0.01 * labels[:, None]
-
-
-def _flax_stub(w):
-    import flax.linen as nn
-
-    class FlaxStub(nn.Module):
-        @nn.compact
-        def __call__(self, x, labels, train=False):
-            ww = self.param("w", lambda k: jnp.asarray(w))
-            return x * ww + 0.01 * labels[:, None]
-
-    model = FlaxStub()
-    params = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, w.shape[0])), jnp.zeros((1,))
-    )["params"]
-    return model, params
-
-
-def _data(seed=0, n=6, d=4):
-    rng = np.random.default_rng(seed)
-    w = rng.normal(size=(d,)).astype(np.float32)
-    x = rng.normal(size=(n, d)).astype(np.float32)
-    t = rng.uniform(0.05, 0.95, size=(n,)).astype(np.float32)
-    z = rng.normal(size=(n, d)).astype(np.float32)
-    return w, x, t, z
-
-
-def _sde_pair(name, ref_sde_lib):
-    from iddiff.sde import VESDE, VPSDE
-
-    if name == "vesde":
-        return (ref_sde_lib.VESDE(sigma_min=0.02, sigma_max=20.0, N=800),
-                VESDE(sigma_min=0.02, sigma_max=20.0, N=800))
-    return (ref_sde_lib.VPSDE(beta_min=0.1, beta_max=20.0, N=800),
-            VPSDE(beta_min=0.1, beta_max=20.0, N=800))
 
 
 # ---------------------------------------------------------------------------

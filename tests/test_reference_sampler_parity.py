@@ -12,7 +12,6 @@ Skipped when /root/reference or torch is absent.
 """
 import os
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -22,7 +21,15 @@ torch = pytest.importorskip("torch")
 
 import jax.numpy as jnp  # noqa: E402
 
-REF = "/root/reference"
+from _reference_stubs import (  # noqa: E402
+    REF,
+    install_pl_stub,
+    make_data,
+    make_flax_stub,
+    make_sde_pair,
+    make_torch_stub,
+)
+
 pytestmark = pytest.mark.skipif(
     not os.path.isfile(os.path.join(REF, "sampling", "predictors.py")),
     reason="reference repo not available",
@@ -31,10 +38,7 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def ref_sampling():
-    if "pytorch_lightning" not in sys.modules:
-        pl_stub = types.ModuleType("pytorch_lightning")
-        pl_stub.LightningModule = torch.nn.Module
-        sys.modules["pytorch_lightning"] = pl_stub
+    install_pl_stub(torch)
     sys.path.insert(0, REF)
     try:
         import sde_lib as ref_sde_lib
@@ -46,62 +50,21 @@ def ref_sampling():
     return ref_predictors, ref_correctors, ref_sde_lib, ref_mutils
 
 
-class _TorchStub(torch.nn.Module):
-    def __init__(self, w):
-        super().__init__()
-        self.w = torch.nn.Parameter(torch.from_numpy(w))
-
-    def forward(self, x, labels):
-        return x * self.w + 0.01 * labels[:, None]
-
-
-def _flax_stub(w):
-    import flax.linen as nn
-
-    class FlaxStub(nn.Module):
-        @nn.compact
-        def __call__(self, x, labels, train=False):
-            ww = self.param("w", lambda k: jnp.asarray(w))
-            return x * ww + 0.01 * labels[:, None]
-
-    model = FlaxStub()
-    params = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, w.shape[0])), jnp.zeros((1,))
-    )["params"]
-    return model, params
-
-
-def _data(seed=0, n=5, d=4):
-    rng = np.random.default_rng(seed)
-    w = rng.normal(size=(d,)).astype(np.float32)
-    x = rng.normal(size=(n, d)).astype(np.float32)
-    # keep t strictly inside grid cells so .long() and int32-cast agree
-    t = (rng.integers(5, 700, size=(n,)) + 0.37).astype(np.float32) / 799.0
-    z = rng.normal(size=(n, d)).astype(np.float32)
-    return w, x, t, z
-
-
-def _sde_pair(name, ref_sde_lib):
-    from iddiff.sde import VESDE, VPSDE
-
-    if name == "vesde":
-        return (ref_sde_lib.VESDE(sigma_min=0.02, sigma_max=20.0, N=800),
-                VESDE(sigma_min=0.02, sigma_max=20.0, N=800))
-    return (ref_sde_lib.VPSDE(beta_min=0.1, beta_max=20.0, N=800),
-            VPSDE(beta_min=0.1, beta_max=20.0, N=800))
+def _data(seed):
+    return make_data(seed, grid_safe_t=True)
 
 
 def _both_steps(ref_sampling, monkeypatch, sde_name, seed, z_pin=True):
     """Common setup: pinned z, both score stacks; returns a runner."""
     ref_predictors, ref_correctors, ref_sde_lib, ref_mutils = ref_sampling
     w, x, t, z = _data(seed)
-    ref_sde, got_sde = _sde_pair(sde_name, ref_sde_lib)
+    ref_sde, got_sde = make_sde_pair(sde_name, ref_sde_lib)
     ref_score = ref_mutils.get_score_fn(
-        ref_sde, _TorchStub(w), conditional=False, train=False,
+        ref_sde, make_torch_stub(torch, w), conditional=False, train=False,
         continuous=True)
     from iddiff.models.score_fn import get_score_fn
 
-    model, params = _flax_stub(w)
+    model, params = make_flax_stub(w)
     got_score = get_score_fn(got_sde, model, params, conditional=False,
                              train=False, continuous=True)
     if z_pin:
@@ -126,8 +89,9 @@ PRED_CASES = [
 def test_predictor_step_parity(ref_sampling, monkeypatch, pred_name,
                                sde_name):
     (ref_predictors, _, ref_sde, got_sde, ref_score, got_score,
-     x, t) = _both_steps(ref_sampling, monkeypatch, sde_name,
-                         seed=hash(pred_name) % 1000)
+     x, t) = _both_steps(
+         ref_sampling, monkeypatch, sde_name,
+         seed=100 + PRED_CASES.index((pred_name, sde_name)))
 
     ref_cls = ref_predictors.get_predictor(pred_name)
     kwargs = {"probability_flow": True} if pred_name == "heun" else {}
@@ -156,8 +120,9 @@ CORR_CASES = [
 def test_corrector_step_parity(ref_sampling, monkeypatch, corr_name,
                                sde_name):
     (_, ref_correctors, ref_sde, got_sde, ref_score, got_score,
-     x, t) = _both_steps(ref_sampling, monkeypatch, sde_name,
-                         seed=hash(corr_name) % 1000)
+     x, t) = _both_steps(
+         ref_sampling, monkeypatch, sde_name,
+         seed=200 + CORR_CASES.index((corr_name, sde_name)))
 
     snr, n_steps = 0.16, 1  # one step so the pinned draw aligns
     ref_cls = ref_correctors.get_corrector(corr_name)

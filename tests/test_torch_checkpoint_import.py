@@ -11,7 +11,6 @@ Skipped when /root/reference or torch is absent.
 """
 import os
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -22,7 +21,12 @@ torch = pytest.importorskip("torch")
 import jax.numpy as jnp  # noqa: E402
 import ml_collections  # noqa: E402
 
-REF = "/root/reference"
+from _reference_stubs import (  # noqa: E402
+    REF,
+    install_op_stub,
+    install_pl_stub,
+    install_torchvision_stub,
+)
 pytestmark = pytest.mark.skipif(
     not os.path.isfile(os.path.join(REF, "models", "ddpm.py")),
     reason="reference repo not available",
@@ -34,21 +38,8 @@ def ref_models():
     # models/ddpm.py imports pytorch_lightning and torchvision at module
     # level (for the KxSR variant's Resize); stub both so the literal code
     # imports on this image.
-    if "pytorch_lightning" not in sys.modules:
-        pl_stub = types.ModuleType("pytorch_lightning")
-        pl_stub.LightningModule = torch.nn.Module
-        sys.modules["pytorch_lightning"] = pl_stub
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        transforms = types.ModuleType("torchvision.transforms")
-        functional = types.ModuleType("torchvision.transforms.functional")
-        functional.InterpolationMode = object
-        transforms.Resize = object
-        transforms.functional = functional
-        tv.transforms = transforms
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.transforms"] = transforms
-        sys.modules["torchvision.transforms.functional"] = functional
+    install_pl_stub(torch)
+    install_torchvision_stub()
     sys.path.insert(0, REF)
     try:
         from models import ddpm as ref_ddpm
@@ -159,25 +150,7 @@ def ref_ncsnpp(ref_models):
     """Import the reference NCSN++; `from op import upfirdn2d`
     (up_or_down_sampling.py:10) would JIT-compile CUDA, so 'op' is stubbed
     with the torch-native fallback extracted from op/upfirdn2d.py."""
-    import ast
-
-    ns = {"torch": torch, "F": torch.nn.functional}
-    with open(os.path.join(REF, "op", "upfirdn2d.py")) as f:
-        tree = ast.parse(f.read())
-    for node in tree.body:
-        if isinstance(node, ast.FunctionDef) and node.name == "upfirdn2d_native":
-            exec(compile(ast.Module(body=[node], type_ignores=[]),
-                         "upfirdn2d", "exec"), ns)
-    native = ns["upfirdn2d_native"]
-
-    def _upfirdn(input, kernel, up=1, down=1, pad=(0, 0)):
-        return native(input, kernel, up, up, down, down,
-                      pad[0], pad[1], pad[0], pad[1])
-
-    if "op" not in sys.modules:
-        op_stub = types.ModuleType("op")
-        op_stub.upfirdn2d = _upfirdn
-        sys.modules["op"] = op_stub
+    install_op_stub(torch)
     sys.path.insert(0, REF)
     try:
         from models import ncsnpp as ref_ncsnpp_mod
@@ -232,3 +205,39 @@ def test_ncsnpp_checkpoint_import_forward_parity(ref_ncsnpp, progressive):
                       jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t))
     got = np.asarray(got).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-4)
+
+
+def test_ema_weights_preferred_from_lightning_checkpoint(ref_models):
+    """prefer_ema=True uses the EMAOptimizer shadow tuple from
+    optimizer_states (ema.py:300-325) — the weights the reference itself
+    evaluates with — re-keyed by state_dict order."""
+    _, ref_fcn = ref_models
+    from iddiff.compat import convert_reference_checkpoint
+
+    c = ml_collections.ConfigDict()
+    c.model = ml_collections.ConfigDict(dict(
+        name="fcn", state_size=3, hidden_layers=1, hidden_nodes=8,
+        dropout=0.0, num_scales=1000, ema_rate=0.999,
+    ))
+    c.data = ml_collections.ConfigDict(dict(shape=[3]))
+
+    torch.manual_seed(4)
+    ref_net = ref_fcn.FCN(c)
+    sd = {f"score_model.{k}": v for k, v in ref_net.state_dict().items()}
+    # EMA shadow = 2x the raw weights, stored as a flat tuple in
+    # parameters() order like the reference EMAOptimizer does
+    ckpt = {
+        "state_dict": sd,
+        "optimizer_states": [{
+            "opt": {}, "ema": tuple(2.0 * v for v in sd.values()),
+            "current_step": 10, "decay": 0.999, "every_n_steps": 1,
+        }],
+    }
+
+    raw = convert_reference_checkpoint(ckpt, c, prefer_ema=False)
+    ema = convert_reference_checkpoint(ckpt, c, prefer_ema=True)
+    for k in raw["net"]:
+        for leaf in raw["net"][k]:
+            np.testing.assert_allclose(
+                np.asarray(ema["net"][k][leaf]),
+                2.0 * np.asarray(raw["net"][k][leaf]), rtol=1e-6)
