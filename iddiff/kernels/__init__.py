@@ -1,3 +1,4 @@
+from .attention import attention, set_flash_attention, flash_attention_enabled
 from .upfirdn2d import (upfirdn2d, upfirdn2d_native, upsample_2d,
                         downsample_2d, conv_downsample_blur)
 from .fused_act import fused_leaky_relu
@@ -14,6 +15,9 @@ __all__ = [
     "upsample_2d",
     "downsample_2d",
     "conv_downsample_blur",
+    "attention",
+    "set_flash_attention",
+    "flash_attention_enabled",
     "fused_leaky_relu",
     "fused_groupnorm_enabled",
     "group_norm_act",

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from iddiff.kernels import upsample_2d, downsample_2d, conv_downsample_blur
+from iddiff.kernels.attention import attention
 from iddiff.nn.normalization import GroupNorm
 
 
@@ -118,9 +119,7 @@ class AttnBlock(nn.Module):
         q = q.reshape(B, H * W, C)
         k = k.reshape(B, H * W, C)
         v = v.reshape(B, H * W, C)
-        w = jnp.einsum("bic,bjc->bij", q, k) / math.sqrt(C)
-        w = jax.nn.softmax(w, axis=-1)
-        h = jnp.einsum("bij,bjc->bic", w, v).reshape(B, H, W, C)
+        h = attention(q, k, v).reshape(B, H, W, C)
         h = NIN(C, init_scale=self.init_scale)(h)
         if self.skip_rescale:
             return (x + h) / math.sqrt(2.0)

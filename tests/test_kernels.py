@@ -301,3 +301,36 @@ def test_group_norm_module_5d():
     want = want * jax.nn.sigmoid(want)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_attention_helper_matches_einsum():
+    """kernels.attention == the AttnBlock einsum math (XLA path)."""
+    import math
+
+    from iddiff.kernels.attention import attention
+
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(size=(2, 16, 8)).astype(np.float32))
+               for _ in range(3))
+    w = jnp.einsum("bic,bjc->bij", q, k) / math.sqrt(8)
+    want = jnp.einsum("bij,bjc->bic", jax.nn.softmax(w, -1), v)
+    np.testing.assert_allclose(np.asarray(attention(q, k, v)),
+                               np.asarray(want), rtol=1e-6, atol=1e-6)
+
+
+def test_flash_attention_parity_on_tpu():
+    """Pallas flash kernel == einsum attention (TPU only; viable shapes)."""
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("flash kernel requires a TPU")
+    from iddiff.kernels.attention import attention, set_flash_attention
+
+    rng = np.random.default_rng(1)
+    q, k, v = (jnp.asarray(rng.normal(size=(2, 256, 128)).astype(np.float32))
+               for _ in range(3))
+    want = np.asarray(attention(q, k, v))
+    set_flash_attention(True)
+    try:
+        got = np.asarray(attention(q, k, v))
+    finally:
+        set_flash_attention(False)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
