@@ -234,3 +234,68 @@ def test_conditional_predictor_step_parity(ref_sampling, monkeypatch,
                                rtol=5e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_x), want_x.detach().numpy(),
                                rtol=5e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("denoise", [True, False])
+@pytest.mark.parametrize("corr_name", ["none", "langevin"])
+def test_pc_driver_loop_parity(ref_sampling, monkeypatch, corr_name,
+                               denoise):
+    """FULL PC sampling loop vs the reference driver
+    (sampling/unconditional.py:165-199): same timestep grid, corrector→
+    predictor order, and final-denoise logic, with ALL noise draws (prior +
+    per-step) pinned to the same constants on both sides."""
+    ref_predictors, ref_correctors, ref_sde_lib, ref_mutils = ref_sampling
+    sys.path.insert(0, REF)
+    try:
+        from sampling import unconditional as ref_uncond
+    finally:
+        sys.path.remove(REF)
+
+    N, B, d = 8, 4, 6
+    seed = 400 + 2 * ["none", "langevin"].index(corr_name) + int(denoise)
+    rng_np = np.random.default_rng(seed)
+    w = rng_np.normal(size=(d,)).astype(np.float32)
+    z0 = rng_np.normal(size=(B, d)).astype(np.float32)  # prior draw
+    z = rng_np.normal(size=(B, d)).astype(np.float32)   # every step's draw
+
+    ref_sde = ref_sde_lib.VESDE(sigma_min=0.05, sigma_max=8.0, N=N)
+    monkeypatch.setattr(torch, "randn",
+                        lambda *shape, **k: torch.from_numpy(z0))
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda b, **k: torch.from_numpy(z))
+
+    ref_model = make_torch_stub(torch, w)
+    ref_model.device = torch.device("cpu")
+    ref_sampler = ref_uncond.get_pc_sampler(
+        sde=ref_sde, shape=(B, d),
+        predictor=ref_predictors.get_predictor("reverse_diffusion"),
+        corrector=ref_correctors.get_corrector(corr_name),
+        snr=0.16, n_steps=1, probability_flow=False, continuous=True,
+        denoise=denoise, eps=1e-3)
+    want, _info = ref_sampler(ref_model)
+
+    from iddiff.sde import VESDE
+    from iddiff.sampling.pc import get_pc_sampler
+
+    # pin prior + per-step draws to the same constants (the jitted scan
+    # folds the patched draw in as a constant, matching torch's constant)
+    calls = {"n": 0}
+
+    def fake_normal(key, shape, dtype=None):
+        # first draw inside the sampler is the prior (B, d); all step draws
+        # have the same shape here, so pin prior -> z0 then z forever
+        calls["n"] += 1
+        return jnp.asarray(z0 if calls["n"] == 1 else z)
+
+    monkeypatch.setattr(jax.random, "normal", fake_normal)
+    got_sde = VESDE(sigma_min=0.05, sigma_max=8.0, N=N)
+    model, params = make_flax_stub(w)
+    sampler = get_pc_sampler(
+        got_sde, model, (B, d), predictor="reverse_diffusion",
+        corrector=corr_name, snr=0.16, n_steps_each=1, denoise=denoise,
+        eps=1e-3)
+    out = sampler(jax.random.PRNGKey(0), params)
+    got = out[0] if isinstance(out, tuple) else out
+
+    np.testing.assert_allclose(np.asarray(got), want.detach().numpy(),
+                               rtol=2e-3, atol=1e-4)
