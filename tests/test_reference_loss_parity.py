@@ -289,3 +289,48 @@ def test_readout_parity_golden_artifact(ref_plot_dims):
     _, want = ref_plot_dims(svd)
     got = dims_from_spectra(np.asarray(svd["singular_values"]))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("sde_name", ["vesde", "vpsde"])
+def test_dsm_loss_gradient_parity(ref_modules, monkeypatch, sde_name):
+    """d(loss)/d(weights) agrees between torch autograd and jax.grad on the
+    same pinned (x, t, z) — validates the whole differentiation path
+    through adapter + loss."""
+    ref_losses, ref_sde_lib, _ = ref_modules
+    from iddiff.losses import get_sde_loss_fn
+
+    eps = 1e-5
+    w, x, _, z = _data(13)
+    n = x.shape[0]
+    u = np.random.default_rng(14).uniform(size=(n,)).astype(np.float32)
+    ref_sde, got_sde = _sde_pair(sde_name, ref_sde_lib)
+    t_forced = (u * (ref_sde.T - eps) + eps).astype(np.float32)
+
+    monkeypatch.setattr(torch, "rand", lambda *a, **k: torch.from_numpy(u))
+    monkeypatch.setattr(
+        torch, "randn_like", lambda b, **k: torch.from_numpy(z))
+    ref_loss_fn = ref_losses.get_general_sde_loss_fn(
+        ref_sde, train=True, conditional=False, reduce_mean=True,
+        continuous=True, likelihood_weighting=True, eps=eps)
+    ref_net = _TorchStub(w)
+    ref_loss = ref_loss_fn(ref_net, torch.from_numpy(x))
+    ref_loss.backward()
+    want_grad = ref_net.w.grad.detach().numpy()
+
+    monkeypatch.setattr(
+        jax.random, "uniform",
+        lambda key, shape, dtype=None, minval=0.0, maxval=1.0:
+            jnp.asarray(t_forced))
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape, dtype=None: jnp.asarray(z))
+    model, params = _flax_stub(w)
+    got_loss_fn = get_sde_loss_fn(
+        got_sde, model, train=True, conditional=False, reduce_mean=True,
+        continuous=True, likelihood_weighting=True, eps=eps)
+    got_grad = jax.grad(
+        lambda p: got_loss_fn(p, jnp.asarray(x), jax.random.PRNGKey(0))
+    )(params)["w"]
+
+    np.testing.assert_allclose(np.asarray(got_grad), want_grad,
+                               rtol=5e-4, atol=1e-5)
