@@ -82,6 +82,12 @@ def get_pc_inpainter(sde, model, predictor="reverse_diffusion",
     std·z on the known region).
     Returns `inpainter(rng, params, data, mask) -> samples`, mask=1 on KNOWN
     pixels.
+
+    Documented deviation: the reference's `denoise=True` return carries the
+    NOISY x on the unknown region — its inpaint_update_fn computes x_mean
+    from the already-projected x (unconditional.py:241-244), so the final
+    x_mean only denoises the known region.  We return the genuinely
+    denoised predictor mean on the unknown region instead.
     """
     p_factory = get_predictor(predictor)
     c_factory = get_corrector(corrector)
@@ -101,10 +107,11 @@ def get_pc_inpainter(sde, model, predictor="reverse_diffusion",
             known = mean + batch_mul(std, z)
             return x * (1.0 - mask) + known * mask
 
-        rng, rng_prior, rng_proj = jax.random.split(rng, 3)
-        x = sde.prior_sampling(rng_prior, shape)
-        vec_T = jnp.full((shape[0],), sde.T, dtype=data.dtype)
-        x = project(rng_proj, x, vec_T)
+        rng, rng_prior = jax.random.split(rng)
+        # live reference init (unconditional.py:293): RAW data on the known
+        # region + prior on the unknown (the diffuse-to-T variant is
+        # commented out there)
+        x = data * mask + sde.prior_sampling(rng_prior, shape) * (1.0 - mask)
 
         def body(carry, t):
             rng, x = carry

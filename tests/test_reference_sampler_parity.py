@@ -299,3 +299,62 @@ def test_pc_driver_loop_parity(ref_sampling, monkeypatch, corr_name,
 
     np.testing.assert_allclose(np.asarray(got), want.detach().numpy(),
                                rtol=2e-3, atol=1e-4)
+
+
+def test_pc_inpainter_loop_parity(ref_sampling, monkeypatch):
+    """FULL PC inpainting loop vs the reference
+    (sampling/unconditional.py:201-316) with all draws pinned; denoise=False
+    (the reference's denoise=True return carries the noisy x on the unknown
+    region — documented deviation, see iddiff/sampling/pc.py)."""
+    ref_predictors, ref_correctors, ref_sde_lib, _ = ref_sampling
+    sys.path.insert(0, REF)
+    try:
+        from sampling import unconditional as ref_uncond
+    finally:
+        sys.path.remove(REF)
+
+    N, B, d = 6, 3, 8
+    rng_np = np.random.default_rng(77)
+    w = rng_np.normal(size=(d,)).astype(np.float32)
+    data = rng_np.normal(size=(B, d)).astype(np.float32)
+    mask = (rng_np.uniform(size=(B, d)) < 0.5).astype(np.float32)
+    z0 = rng_np.normal(size=(B, d)).astype(np.float32)
+    z = rng_np.normal(size=(B, d)).astype(np.float32)
+
+    ref_sde = ref_sde_lib.VESDE(sigma_min=0.05, sigma_max=8.0, N=N)
+    monkeypatch.setattr(torch, "randn",
+                        lambda *shape, **k: torch.from_numpy(z0))
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda b, **k: torch.from_numpy(z))
+
+    ref_model = make_torch_stub(torch, w)
+    ref_model.device = torch.device("cpu")
+    ref_inpainter = ref_uncond.get_pc_inpainter(
+        sde=ref_sde,
+        predictor=ref_predictors.get_predictor("reverse_diffusion"),
+        corrector=ref_correctors.get_corrector("none"),
+        snr=0.16, n_steps=1, probability_flow=False, continuous=True,
+        denoise=False, eps=1e-3)
+    want, _ = ref_inpainter(ref_model, torch.from_numpy(data),
+                            torch.from_numpy(mask))
+
+    from iddiff.sde import VESDE
+    from iddiff.sampling.pc import get_pc_inpainter
+
+    calls = {"n": 0}
+
+    def fake_normal(key, shape, dtype=None):
+        calls["n"] += 1
+        return jnp.asarray(z0 if calls["n"] == 1 else z)
+
+    monkeypatch.setattr(jax.random, "normal", fake_normal)
+    model, params = make_flax_stub(w)
+    inpainter = get_pc_inpainter(
+        VESDE(sigma_min=0.05, sigma_max=8.0, N=N), model,
+        predictor="reverse_diffusion", corrector="none", snr=0.16,
+        n_steps_each=1, denoise=False, eps=1e-3)
+    got = inpainter(jax.random.PRNGKey(0), params, jnp.asarray(data),
+                    jnp.asarray(mask))
+
+    np.testing.assert_allclose(np.asarray(got), want.detach().numpy(),
+                               rtol=2e-3, atol=1e-4)
