@@ -358,3 +358,131 @@ def test_pc_inpainter_loop_parity(ref_sampling, monkeypatch):
 
     np.testing.assert_allclose(np.asarray(got), want.detach().numpy(),
                                rtol=2e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("use_path", [False, True])
+def test_conditional_driver_loop_parity(ref_sampling, monkeypatch, use_path):
+    """FULL conditional PC loop vs the reference driver
+    (sampling/conditional.py:47-253): per-step y-perturbation (or the
+    backward-kernel use_path chain), predictor->corrector order, denoise —
+    all noise draws pinned on both sides."""
+    ref_predictors, ref_correctors, ref_sde_lib, ref_mutils = ref_sampling
+    sys.path.insert(0, REF)
+    try:
+        from sampling import conditional as ref_cond_mod
+    finally:
+        sys.path.remove(REF)
+
+    P, B, d = 6, 3, 5
+    rng_np = np.random.default_rng(88 + use_path)
+    w = rng_np.normal(size=(d,)).astype(np.float32)
+    y = rng_np.normal(size=(B, d)).astype(np.float32)
+    z0 = rng_np.normal(size=(B, d)).astype(np.float32)
+    z = rng_np.normal(size=(B, d)).astype(np.float32)
+
+    ref_dict = {"x": ref_sde_lib.cVESDE(sigma_min=0.02, sigma_max=8.0, N=P),
+                "y": ref_sde_lib.VESDE(sigma_min=0.05, sigma_max=4.0, N=P)}
+
+    class RefDictStub(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.w = torch.nn.Parameter(torch.from_numpy(w))
+            self.device = torch.device("cpu")
+
+        def forward(self, xx, labels):
+            return {"x": xx["x"] * self.w + 0.01 * labels[:, None],
+                    "y": xx["y"] * (2.0 * self.w) + 0.02 * labels[:, None]}
+
+    monkeypatch.setattr(torch, "randn",
+                        lambda *shape, **k: torch.from_numpy(z0))
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda b, **k: torch.from_numpy(z))
+    ref_sampler = ref_cond_mod.get_pc_conditional_sampler(
+        sde=ref_dict, shape=(B, d),
+        predictor=ref_predictors.get_predictor(
+            "conditional_reverse_diffusion"),
+        corrector=ref_correctors.get_corrector("conditional_langevin"),
+        snr=0.16, p_steps=P, c_steps=1, probability_flow=False,
+        continuous=True, denoise=True, use_path=use_path, eps=1e-3)
+    want, _ = ref_sampler(RefDictStub(), torch.from_numpy(y))
+
+    from iddiff.sde import CVESDE, VESDE
+    from iddiff.sampling.conditional import get_pc_conditional_sampler
+
+    import flax.linen as nn
+
+    class GotDictStub(nn.Module):
+        @nn.compact
+        def __call__(self, xx, labels, train=False):
+            ww = self.param("w", lambda k: jnp.asarray(w))
+            return {"x": xx["x"] * ww + 0.01 * labels[:, None],
+                    "y": xx["y"] * (2.0 * ww) + 0.02 * labels[:, None]}
+
+    got_dict = {"x": CVESDE(sigma_min=0.02, sigma_max=8.0, N=P),
+                "y": VESDE(sigma_min=0.05, sigma_max=4.0, N=P)}
+    model = GotDictStub()
+    params = model.init(jax.random.PRNGKey(0),
+                        {"x": jnp.zeros((1, d)), "y": jnp.zeros((1, d))},
+                        jnp.zeros((1,)))["params"]
+
+    calls = {"n": 0}
+
+    def fake_normal(key, shape, dtype=None):
+        calls["n"] += 1
+        return jnp.asarray(z0 if calls["n"] == 1 else z)
+
+    monkeypatch.setattr(jax.random, "normal", fake_normal)
+    sampler = get_pc_conditional_sampler(
+        got_dict, model, (B, d), predictor="conditional_reverse_diffusion",
+        corrector="conditional_langevin", snr=0.16, p_steps=P, c_steps=1,
+        denoise=True, use_path=use_path, eps=1e-3)
+    got = sampler(jax.random.PRNGKey(0), params, jnp.asarray(y))
+
+    np.testing.assert_allclose(np.asarray(got), want.detach().numpy(),
+                               rtol=2e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("denoise", [False, True])
+def test_ode_sampler_parity(ref_sampling, monkeypatch, denoise):
+    """Probability-flow ODE sampler vs the reference's scipy RK45 driver
+    (sampling/unconditional.py:66-131), same pinned prior; solvers differ so
+    values agree to solver tolerance."""
+    ref_predictors, _, ref_sde_lib, _ = ref_sampling
+    sys.path.insert(0, REF)
+    try:
+        from sampling import unconditional as ref_uncond
+    finally:
+        sys.path.remove(REF)
+
+    B, d = 3, 5
+    rng_np = np.random.default_rng(99 + denoise)
+    w = 0.1 * rng_np.normal(size=(d,)).astype(np.float32)
+    z0 = rng_np.normal(size=(B, d)).astype(np.float32)
+
+    ref_sde = ref_sde_lib.VESDE(sigma_min=0.05, sigma_max=6.0, N=100)
+    monkeypatch.setattr(torch, "randn",
+                        lambda *shape, **k: torch.from_numpy(z0))
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda b, **k: torch.from_numpy(np.zeros_like(z0)))
+
+    ref_model = make_torch_stub(torch, w)
+    ref_model.device = torch.device("cpu")
+    ref_sampler = ref_uncond.get_ode_sampler(
+        sde=ref_sde, shape=(B, d), denoise=denoise, rtol=1e-5, atol=1e-5,
+        eps=1e-3)
+    want, ref_nfe = ref_sampler(ref_model)
+
+    from iddiff.sde import VESDE
+    from iddiff.sampling.ode import get_ode_sampler
+
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape, dtype=None: jnp.asarray(z0))
+    model, params = make_flax_stub(w)
+    sampler = get_ode_sampler(
+        VESDE(sigma_min=0.05, sigma_max=6.0, N=100), model, (B, d),
+        denoise=denoise, rtol=1e-5, atol=1e-5, eps=1e-3)
+    got, got_nfe = sampler(jax.random.PRNGKey(0), params)
+
+    np.testing.assert_allclose(np.asarray(got), want.detach().numpy(),
+                               rtol=2e-3, atol=2e-3)
