@@ -334,3 +334,47 @@ def test_dsm_loss_gradient_parity(ref_modules, monkeypatch, sde_name):
 
     np.testing.assert_allclose(np.asarray(got_grad), want_grad,
                                rtol=5e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# PSNR/SSIM metric parity (lightning_callbacks/evaluation_tools.py:15-91)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_metrics():
+    """AST-extract calculate_psnr/ssim/calculate_ssim (module-level
+    torchvision import blocks a plain import; cv2 is available)."""
+    import math
+
+    cv2 = pytest.importorskip("cv2")
+    path = os.path.join(REF, "lightning_callbacks", "evaluation_tools.py")
+    with open(path) as f:
+        tree = ast.parse(f.read())
+    ns = {"np": np, "math": math, "cv2": cv2}
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name in (
+                "calculate_psnr", "ssim", "calculate_ssim"):
+            exec(compile(ast.Module(body=[node], type_ignores=[]),
+                         path, "exec"), ns)
+    return ns
+
+
+def test_psnr_ssim_metric_parity(ref_metrics):
+    """iddiff PSNR/SSIM == the reference's numpy/cv2 implementations on
+    [0,255] images (the reference's test-mode metrics)."""
+    from iddiff.analysis.evaluation import psnr, ssim
+
+    rng = np.random.default_rng(5)
+    a = rng.uniform(0, 255, size=(24, 24, 3)).astype(np.float64)
+    b = np.clip(a + rng.normal(0, 12, size=a.shape), 0, 255)
+
+    np.testing.assert_allclose(
+        psnr(a, b, data_range=255.0), ref_metrics["calculate_psnr"](a, b),
+        rtol=1e-10)
+    np.testing.assert_allclose(
+        ssim(a, b, data_range=255.0), ref_metrics["calculate_ssim"](a, b),
+        rtol=1e-6)
+    # grayscale branch too (evaluation_tools.py:64-80)
+    np.testing.assert_allclose(
+        ssim(a[..., 0], b[..., 0], data_range=255.0),
+        ref_metrics["calculate_ssim"](a[..., 0], b[..., 0]), rtol=1e-6)
