@@ -32,11 +32,13 @@ def flash_attention_enabled() -> bool:
     return _FLASH
 
 
-def _viable(q) -> bool:
+def _viable(q, k) -> bool:
     if jax.devices()[0].platform != "tpu":
         return False
-    _, L, C = q.shape
-    return L % 128 == 0 and C % 128 == 0
+    _, Lq, C = q.shape
+    Lk = k.shape[1]
+    # the Pallas kernel tiles q AND kv sequences in 128 blocks
+    return Lq % 128 == 0 and Lk % 128 == 0 and C % 128 == 0
 
 
 def attention(q, k, v):
@@ -47,7 +49,7 @@ def attention(q, k, v):
     enabled + viable, else the XLA einsum formulation.
     """
     B, L, C = q.shape
-    if flash_attention_enabled() and _viable(q):
+    if flash_attention_enabled() and _viable(q, k):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             flash_attention,
         )

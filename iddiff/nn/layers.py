@@ -15,8 +15,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from iddiff.kernels import upsample_2d, downsample_2d, conv_downsample_blur
-from iddiff.kernels.attention import attention
+from iddiff.kernels import (
+    attention,
+    conv_downsample_blur,
+    downsample_2d,
+    upsample_2d,
+)
 from iddiff.nn.normalization import GroupNorm
 
 

@@ -33,6 +33,7 @@ def _sync(x):
 def main():
     assert jax.devices()[0].platform == "tpu", "run this on the chip"
     rng = np.random.default_rng(0)
+    failed = False
 
     print("== parity (flash vs einsum) ==")
     for B, L, C in [(128, 256, 128), (128, 256, 256), (8, 1024, 128)]:
@@ -44,8 +45,10 @@ def main():
         got = _sync(jax.jit(attention)(q, k, v))
         set_flash_attention(False)
         err = float(np.max(np.abs(got - want)))
-        status = "OK " if err < 2e-3 else "FAIL"
-        print(f"  {status} (B={B}, L={L}, C={C}): max_abs_err={err:.2e}")
+        ok = err < 2e-3
+        failed = failed or not ok
+        print(f"  {'OK ' if ok else 'FAIL'} (B={B}, L={L}, C={C}): "
+              f"max_abs_err={err:.2e}")
 
     print("== end-to-end DDPM d=1024 score forward ==")
     from iddiff.configs.dimension_estimation.mnist import get_config
@@ -75,8 +78,11 @@ def main():
         print(f"  flash={flash}: {dt * 1e3:.2f} ms/fwd (B={B})")
     set_flash_attention(False)
     err = float(np.max(np.abs(outs[True][1] - outs[False][1])))
+    failed = failed or err >= 2e-3
     print(f"  fwd speedup: {outs[False][0] / outs[True][0]:.3f}x, "
           f"max_abs_out_err={err:.2e}")
+    if failed:
+        raise SystemExit("PARITY FAIL — do not enable IDDIFF_FLASH_ATTN")
 
 
 if __name__ == "__main__":

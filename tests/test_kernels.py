@@ -322,15 +322,24 @@ def test_flash_attention_parity_on_tpu():
     """Pallas flash kernel == einsum attention (TPU only; viable shapes)."""
     if jax.devices()[0].platform != "tpu":
         pytest.skip("flash kernel requires a TPU")
-    from iddiff.kernels.attention import attention, set_flash_attention
+    from iddiff.kernels.attention import (
+        attention,
+        flash_attention_enabled,
+        set_flash_attention,
+    )
 
     rng = np.random.default_rng(1)
     q, k, v = (jnp.asarray(rng.normal(size=(2, 256, 128)).astype(np.float32))
                for _ in range(3))
-    want = np.asarray(attention(q, k, v))
-    set_flash_attention(True)
+    # snapshot + force OFF for the reference value so the test isn't
+    # vacuous under IDDIFF_FLASH_ATTN=1, and the env-configured flag is
+    # restored for the rest of the suite
+    prior = flash_attention_enabled()
     try:
+        set_flash_attention(False)
+        want = np.asarray(attention(q, k, v))
+        set_flash_attention(True)
         got = np.asarray(attention(q, k, v))
     finally:
-        set_flash_attention(False)
+        set_flash_attention(prior)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
