@@ -241,3 +241,32 @@ def test_ema_weights_preferred_from_lightning_checkpoint(ref_models):
             np.testing.assert_allclose(
                 np.asarray(ema["net"][k][leaf]),
                 2.0 * np.asarray(raw["net"][k][leaf]), rtol=1e-6)
+
+
+def test_structural_converter_agrees_with_ddpm_walk(ref_models):
+    """convert_by_structure and the explicit DDPM constructor-walk converter
+    must produce identical trees — each validates the other."""
+    ref_ddpm, _ = ref_models
+    from iddiff.compat import convert_ddpm_state_dict
+    from iddiff.compat.torch_import import convert_by_structure
+    from iddiff.models import create_model
+
+    config = _ddpm_config()
+    torch.manual_seed(5)
+    ref_net = ref_ddpm.DDPM(config)
+    sd = ref_net.state_dict()
+
+    walk = convert_ddpm_state_dict(sd, config)
+    model = create_model(config)
+    struct = convert_by_structure(
+        sd, model, (jnp.zeros((1, 16, 16, 1)), jnp.zeros((1,))))
+
+    flat_w = {jax.tree_util.keystr(p): l for p, l in
+              jax.tree_util.tree_leaves_with_path(
+                  jax.tree_util.tree_map(jnp.asarray, walk))}
+    flat_s = {jax.tree_util.keystr(p): l for p, l in
+              jax.tree_util.tree_leaves_with_path(struct)}
+    assert set(flat_w) == set(flat_s)
+    for k in flat_w:
+        np.testing.assert_array_equal(np.asarray(flat_w[k]),
+                                      np.asarray(flat_s[k]))
