@@ -378,3 +378,28 @@ def test_psnr_ssim_metric_parity(ref_metrics):
     np.testing.assert_allclose(
         ssim(a[..., 0], b[..., 0], data_range=255.0),
         ref_metrics["calculate_ssim"](a[..., 0], b[..., 0]), rtol=1e-6)
+
+
+def test_mle_estimator_parity():
+    """intrinsic_dim_sample_wise matches the reference's literal mle.py
+    (numpy-only, imports clean) point-for-point; mle_id is the
+    maxLikGlobalDimEst form used by the reference's benchmark harness."""
+    sys.path.insert(0, REF)
+    try:
+        import mle as ref_mle
+    finally:
+        sys.path.remove(REF)
+    from iddiff.analysis.mle import intrinsic_dim_sample_wise, mle_id
+
+    rng = np.random.default_rng(42)
+    X = rng.normal(size=(200, 4)).astype(np.float64)
+    for k in (5, 10):
+        want = ref_mle.intrinsic_dim_sample_wise(X, k=k)
+        got = intrinsic_dim_sample_wise(X, k=k)
+        np.testing.assert_allclose(got, want, rtol=1e-8)
+    # global form: inverse of the pooled mean of 1/(k-1)-normalized logs
+    # == (k-1)/mean(S_i); sanity-check the closed relation on the same X
+    k = 5
+    want_pp = ref_mle.intrinsic_dim_sample_wise(X, k=k)
+    pooled = 1.0 / np.mean((k - 2) / want_pp / (k - 1))
+    np.testing.assert_allclose(mle_id(X, k=k), pooled, rtol=1e-8)
