@@ -1,0 +1,37 @@
+#!/usr/bin/env bash
+# Archive the newest orbax checkpoint of a run into artifacts/ (tracked by
+# git) so a VM re-provision cannot lose trained state again: round 4 lost
+# the squares-10 328k and blobs-10 15.6k checkpoints because logs/ is
+# gitignored and the host was rebuilt mid-round.
+#
+# Usage: cluster/archive_checkpoint.sh <workdir> <name>
+#   e.g. cluster/archive_checkpoint.sh logs/blobs_paper/10 blobs10
+# Produces artifacts/checkpoints/<name>_step<K>.tar.gz containing the
+# newest checkpoint dir + config.pkl + metrics.jsonl, then commits it.
+# Overwrites (replaces) any older archive of the same run to bound repo
+# growth; on-disk history of spectra stays in artifacts/<name>_trajectory.
+set -eu
+cd "$(dirname "$0")/.."
+WD=$1
+NAME=$2
+CKROOT="$WD/checkpoints"
+[ -d "$CKROOT" ] || { echo "no checkpoints under $WD" >&2; exit 1; }
+# newest step dir (orbax: <step> numeric dirs)
+STEP=$(ls "$CKROOT" | grep -E '^[0-9]+$' | sort -n | tail -1)
+[ -n "$STEP" ] || { echo "no step dirs in $CKROOT" >&2; exit 1; }
+mkdir -p artifacts/checkpoints
+OUT="artifacts/checkpoints/${NAME}_step${STEP}.tar.gz"
+TMP="${OUT}.tmp"
+tar czf "$TMP" -C "$WD" "checkpoints/$STEP" \
+  $( [ -f "$WD/config.pkl" ] && echo config.pkl ) \
+  $( [ -f "$WD/metrics.jsonl" ] && echo metrics.jsonl )
+mv "$TMP" "$OUT"
+# drop older archives of the same run (keep only the newest step)
+for f in artifacts/checkpoints/${NAME}_step*.tar.gz; do
+  [ "$f" = "$OUT" ] || git rm -q --cached "$f" 2>/dev/null || true
+  [ "$f" = "$OUT" ] || rm -f "$f"
+done
+SZ=$(du -h "$OUT" | cut -f1)
+git add -f "$OUT"
+git commit -q -m "artifacts: archive $NAME checkpoint at step $STEP ($SZ)" || true
+echo "archived $OUT ($SZ)"
