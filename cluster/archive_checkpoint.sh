@@ -14,15 +14,17 @@ set -eu
 cd "$(dirname "$0")/.."
 WD=$1
 NAME=$2
-CKROOT="$WD/checkpoints"
-[ -d "$CKROOT" ] || { echo "no checkpoints under $WD" >&2; exit 1; }
-# newest step dir (orbax: <step> numeric dirs)
+# CheckpointKeeper layout: $WD/last/<step> (most recent), $WD/best/<step>
+CKROOT="$WD/last"
+[ -d "$CKROOT" ] || { echo "no last/ checkpoints under $WD" >&2; exit 1; }
+# newest COMMITTED step dir (orbax: <step> numeric dirs; skip in-flight
+# .orbax-checkpoint-tmp dirs so we never archive a half-written step)
 STEP=$(ls "$CKROOT" | grep -E '^[0-9]+$' | sort -n | tail -1)
 [ -n "$STEP" ] || { echo "no step dirs in $CKROOT" >&2; exit 1; }
 mkdir -p artifacts/checkpoints
 OUT="artifacts/checkpoints/${NAME}_step${STEP}.tar.gz"
 TMP="${OUT}.tmp"
-tar czf "$TMP" -C "$WD" "checkpoints/$STEP" \
+tar czf "$TMP" -C "$WD" "last/$STEP" \
   $( [ -f "$WD/config.pkl" ] && echo config.pkl ) \
   $( [ -f "$WD/metrics.jsonl" ] && echo metrics.jsonl )
 mv "$TMP" "$OUT"
@@ -33,5 +35,10 @@ for f in artifacts/checkpoints/${NAME}_step*.tar.gz; do
 done
 SZ=$(du -h "$OUT" | cut -f1)
 git add -f "$OUT"
-git commit -q -m "artifacts: archive $NAME checkpoint at step $STEP ($SZ)" || true
+# pathspec commit: safe to run from a background loop — never sweeps up
+# unrelated files another process has staged
+git commit -q -m "artifacts: archive $NAME checkpoint at step $STEP ($SZ)
+
+No-Verification-Needed: binary checkpoint artifact only" \
+  -- artifacts/checkpoints/ || true
 echo "archived $OUT ($SZ)"

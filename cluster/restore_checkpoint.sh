@@ -14,4 +14,4 @@ WD=$2
 mkdir -p "$WD"
 tar xzf "$AR" -C "$WD"
 echo "restored into $WD:"
-ls "$WD" "$WD/checkpoints"
+ls "$WD" "$WD/last"
