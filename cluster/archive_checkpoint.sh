@@ -36,9 +36,22 @@ done
 SZ=$(du -h "$OUT" | cut -f1)
 git add -f "$OUT"
 # pathspec commit: safe to run from a background loop — never sweeps up
-# unrelated files another process has staged
-git commit -q -m "artifacts: archive $NAME checkpoint at step $STEP ($SZ)
+# unrelated files another process has staged.  If HEAD is already an
+# archive commit for this run, AMEND it instead: consecutive archives then
+# collapse to ONE history entry, the replaced ~1GB tarball blob becomes
+# unreachable, and the gc below reclaims it — bounding .git growth to one
+# checkpoint per run instead of one per interval.
+MSG="artifacts: archive $NAME checkpoint at step $STEP ($SZ)
 
-No-Verification-Needed: binary checkpoint artifact only" \
-  -- artifacts/checkpoints/ || true
+No-Verification-Needed: binary checkpoint artifact only"
+if git log -1 --format=%s | grep -q "^artifacts: archive $NAME checkpoint"; then
+  git commit -q --amend -m "$MSG" -- artifacts/checkpoints/ || true
+  # reclaim the amended-away tarball blob (loose + unreachable) WITHOUT a
+  # full repack — git gc would re-pack the live ~1GB blob every interval
+  # on this single-core host
+  git reflog expire --expire-unreachable=now --all 2>/dev/null || true
+  git prune --expire=now 2>/dev/null || true
+else
+  git commit -q -m "$MSG" -- artifacts/checkpoints/ || true
+fi
 echo "archived $OUT ($SZ)"

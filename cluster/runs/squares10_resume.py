@@ -1,16 +1,52 @@
-"""squares-10 paper-run continuation (VERDICT r2 item 1).
+"""squares-10 paper-run continuation (VERDICT r2 item 1 / r3 item 2).
 
-Round 2 trained the full paper model to its configured 200k-step budget
-(reference budget: 2.5M, /root/reference/configs/dimension_estimation/
-paper/image_data/squares/10.py); the 11->10 read-out crossing is
-extrapolated at ~250-300k steps.  Resume from the exact pickled run
-config with the iteration budget raised so the run crosses the flip.
+Round 2 trained the full paper model to 200k steps; round 4 continued to
+328k (spectra archived under artifacts/squares10_trajectory/) before a
+host re-provision wiped the gitignored checkpoint.  This config therefore
+works in BOTH states:
+
+- if the workdir's pickled run config survives, resume it exactly (the
+  round-2/4 behavior);
+- otherwise rebuild the identical run from the checked-in paper config
+  (reference: /root/reference/configs/dimension_estimation/paper/
+  image_data/squares/10.py — nf=128, ch_mult (1,2,2,2), 4 res blocks,
+  dropout 0.1, VESDE sigma in [0.01, 50], 500k samples, batch 128,
+  lr 2e-4 + 5k warmup), with the in-training 5-point spectrum hook and
+  the same workdir so --resume picks up whatever checkpoint exists.
+
+Budget: 500k steps (paper budget is 2.5M; the 11->10 crossing is the
+target, measured by the archived spectra trajectory).
 """
+import os
 import pickle
+
+_PKL = "/root/repo/logs/squares_paper/10/config.pkl"
+
+
+def _rebuild():
+    from iddiff.configs.dimension_estimation.squares import (
+        paper_budget,
+        squares_config,
+    )
+
+    c = paper_budget(squares_config(10, kind="squares"))
+    c.logging.log_path = "/root/repo/logs/squares_paper"
+    c.logging.log_name = "10"
+    # in-training 5-point spectrum hook, step-keyed pickles (svd/steps_*.pkl)
+    c.logging.svd_frequency = 8  # epochs between spectrum probes
+    c.logging.svd_points = 5
+    c.logging.save_svd = True
+    c.logging.every_n_epochs = 8
+    c.logging.top_k = 3
+    c.data.cache_generated = True
+    return c
 
 
 def get_config():
-    with open("/root/repo/logs/squares_paper/10/config.pkl", "rb") as f:
-        c = pickle.load(f)
+    if os.path.exists(_PKL):
+        with open(_PKL, "rb") as f:
+            c = pickle.load(f)
+    else:
+        c = _rebuild()
     c.training.n_iters = 500_000
     return c

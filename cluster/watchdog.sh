@@ -14,6 +14,16 @@ set -u
 PIDF=$1; METRICS=$2; CFG=$3; WD=$4; LOGP=$5
 STOP_FILE=${STOP_FILE:-/tmp/iddiff_watchdog.stop}
 STALL_S=${STALL_S:-480}
+# Slow-rate guard (MIN_RATE steps/s, 0 = off): a tunnel client can survive
+# a relay outage in a degraded state — alive, metrics advancing, but each
+# RPC ~2s instead of ~10ms (observed 0.46 steps/s vs 110 steps/s for the
+# SAME program in a fresh process).  If the rate measured from the two
+# newest metric entries stays below MIN_RATE for 3 consecutive ticks, the
+# process is recycled.  Only entries written in the last 300s count, so a
+# freshly restarted run (old slow entries still in the file) or an
+# eval/checkpoint pause never trips the guard.
+MIN_RATE=${MIN_RATE:-0}
+SLOW_TICKS=0
 cd "$(dirname "$0")/.."
 # reset the staleness clock at supervision start: the metrics file may be
 # hours old from a previous round, which would otherwise kill a healthy
@@ -27,9 +37,31 @@ while true; do
   ALIVE=0; [ -n "${PID:-}" ] && kill -0 "$PID" 2>/dev/null && ALIVE=1
   AGE=9999
   [ -f "$METRICS" ] && AGE=$(( $(date +%s) - $(stat -c %Y "$METRICS") ))
-  if [ "$ALIVE" = "0" ] || [ "$AGE" -gt "$STALL_S" ]; then
-    echo "$(date -u) watchdog: alive=$ALIVE stall_age=${AGE}s -> restart" \
+  SLOW=0
+  if [ "$MIN_RATE" != "0" ] && [ "$ALIVE" = "1" ] && [ -f "$METRICS" ]; then
+    RATE=$(tail -2 "$METRICS" | python3 -c '
+import sys, json, time
+try:
+    L = [json.loads(l) for l in sys.stdin if l.strip()]
+except Exception:
+    L = []
+if len(L) == 2 and L[1]["time"] > L[0]["time"] and \
+        time.time() - L[1]["time"] < 300:
+    print((L[1]["step"] - L[0]["step"]) / (L[1]["time"] - L[0]["time"]))
+else:
+    print("")' 2>/dev/null)
+    if [ -n "${RATE:-}" ] && \
+        awk -v r="$RATE" -v m="$MIN_RATE" 'BEGIN{exit !(r<m)}'; then
+      SLOW_TICKS=$((SLOW_TICKS + 1))
+      [ "$SLOW_TICKS" -ge 3 ] && SLOW=1
+    else
+      SLOW_TICKS=0
+    fi
+  fi
+  if [ "$ALIVE" = "0" ] || [ "$AGE" -gt "$STALL_S" ] || [ "$SLOW" = "1" ]; then
+    echo "$(date -u) watchdog: alive=$ALIVE stall_age=${AGE}s slow=$SLOW (rate=${RATE:-n/a}, min=$MIN_RATE) -> restart" \
         >> "${LOGP}_watchdog.log"
+    SLOW_TICKS=0
     [ -n "${PID:-}" ] && kill -9 "$PID" 2>/dev/null
     sleep 10
     nohup python -u main.py --config "$CFG" --mode train --workdir "$WD" \
