@@ -39,6 +39,21 @@ def _rebuild():
     c.logging.every_n_epochs = 8
     c.logging.top_k = 3
     c.data.cache_generated = True
+    # TPU-native hot loop (see blobs10_run.py): on-device batch synthesis +
+    # scan-fused steps.  NOTE: flips the per-sample RNG realization of the
+    # 500k-sample dataset vs the round-2 numpy dataset (same manifold
+    # constants, same distribution — PARITY.md); the wiped round-2/4
+    # checkpoints force a from-scratch run anyway.
+    c.data.on_device_generation = True
+    c.logging.eval_freq_epochs = 4
+    return c
+
+
+def _apply_fast_path(c):
+    """Used when resuming from a surviving pickled config: layer the
+    round-4 fast-path flags onto it."""
+    c.data.on_device_generation = True
+    c.logging.eval_freq_epochs = 4
     return c
 
 
@@ -46,6 +61,7 @@ def get_config():
     if os.path.exists(_PKL):
         with open(_PKL, "rb") as f:
             c = pickle.load(f)
+        _apply_fast_path(c)
     else:
         c = _rebuild()
     c.training.n_iters = 500_000

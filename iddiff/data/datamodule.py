@@ -100,6 +100,55 @@ class ArrayDataModule:
     def generate(self, config):
         raise NotImplementedError
 
+    # --- on-device virtual datasets (opt-in, data.on_device_generation) -----
+    # Subclasses with procedural data (iddiff.data.synthetic) override these;
+    # the Trainer then ships ONLY int32 indices over the host→device link and
+    # synthesizes batches on device (index-keyed PRNG: a fixed dataset).
+    def supports_device_generation(self) -> bool:
+        return False
+
+    def device_generator(self):
+        """jittable gen(indices int32[B]) -> batch (B, ...)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} has no on-device generator")
+
+    @property
+    def virtual(self) -> bool:
+        return getattr(self, "_virtual", False)
+
+    @property
+    def data_shape(self):
+        """Per-sample shape, available in both materialized and virtual mode."""
+        if self.virtual:
+            return tuple(self.config.data.shape)
+        return tuple(self.train_data.shape[1:])
+
+    def _gen_np(self, indices):
+        import numpy as np_
+
+        gen = self._gen_cache if getattr(self, "_gen_cache", None) is not None \
+            else self.device_generator()
+        self._gen_cache = gen
+        import jax.numpy as jnp
+
+        return np_.asarray(gen(jnp.asarray(indices, jnp.int32)))
+
+    def train_head(self, n: int):
+        """First n train samples as a host array (in-training callbacks)."""
+        if not self.virtual:
+            return self.train_data[:n]
+        return self._gen_np(self.train_idx[:n])
+
+    def train_datapoints(self, num: int, seed: int):
+        """`num` train samples drawn by a seeded permutation — the virtual-
+        mode twin of run_lib.select_datapoints (unbiased, reproducible)."""
+        if not self.virtual:
+            from iddiff.run_lib import select_datapoints
+
+            return select_datapoints(np.asarray(self.train_data), num, seed)
+        perm = np.random.default_rng(seed).permutation(len(self.train_idx))
+        return self._gen_np(self.train_idx[perm[:num]])
+
     # -------------------------------------------------------------------------
     def _cache_path(self):
         """Opt-in on-disk cache for generated datasets
@@ -125,6 +174,29 @@ class ArrayDataModule:
 
     def setup(self, stage=None):
         if self._setup_done:
+            return
+        if self.config.data.get("on_device_generation", False):
+            if not self.supports_device_generation():
+                raise ValueError(
+                    "data.on_device_generation=True but "
+                    f"{type(self).__name__} has no device generator for this "
+                    "dataset")
+            # Virtual dataset: no host materialization at all.  The SAME
+            # seeded split permutation as the materialized path partitions
+            # the index space; loaders then iterate int32 indices and the
+            # Trainer synthesizes batches on device.
+            n = int(self.config.data.data_samples)
+            perm = np.random.default_rng(self.seed).permutation(n)
+            n_train = int(self.split[0] * n)
+            n_val = int(self.split[1] * n)
+            self.train_idx = perm[:n_train].astype(np.int32)
+            self.val_idx = perm[n_train: n_train + n_val].astype(np.int32)
+            self.test_idx = perm[n_train + n_val:].astype(np.int32)
+            self.train_data = self.val_data = self.test_data = None
+            self.train_labels = self.val_labels = self.test_labels = None
+            self._virtual = True
+            self._gen_cache = None
+            self._setup_done = True
             return
         cache = None
         if self.config.data.get("cache_generated", False):
@@ -183,6 +255,9 @@ class ArrayDataModule:
     def train_dataloader(self):
         # drop_last=False: the Trainer wrap-pads a ragged tail batch to the
         # nominal batch size (one compiled shape, no sample dropped)
+        if self.virtual:  # index batches; the Trainer generates on device
+            return self._loader(self.train_idx, None, self.train_batch,
+                                True, self.seed + 1, drop_last=False)
         use_native = self.config.training.get("native_loader", "auto")
         plain_array = self.train_labels is None or not self.return_labels
         # subclasses that override _loader (paired/conditional/time-series)
@@ -214,9 +289,11 @@ class ArrayDataModule:
         # drop_last=False: Trainer.validate wrap-pads ragged tails to the
         # mesh, so the full split is evaluated (reference evaluates full
         # splits; VERDICT r1 weak #2/#3)
-        return self._loader(self.val_data, self.val_labels, self.val_batch,
-                            True, self.seed + 2)
+        return self._loader(
+            self.val_idx if self.virtual else self.val_data,
+            self.val_labels, self.val_batch, True, self.seed + 2)
 
     def test_dataloader(self):
-        return self._loader(self.test_data, self.test_labels, self.test_batch,
-                            False, self.seed + 3)
+        return self._loader(
+            self.test_idx if self.virtual else self.test_data,
+            self.test_labels, self.test_batch, False, self.seed + 3)

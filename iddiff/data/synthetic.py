@@ -95,6 +95,34 @@ def generate_fixed_gaussians(n_samples, num_gaussians, std_range, img_size, seed
     return out[..., None]
 
 
+def fixed_squares_constants(num_squares, square_range, img_size, seed):
+    """The manifold-defining constants of FixedSquaresManifold: draws them
+    with the SAME seeded numpy calls (same order) as generate_fixed_squares,
+    so the manifold (mask layout) is identical whether samples are produced
+    on host or on device.  Returns masks (K, H*W) float32."""
+    rng = np.random.default_rng(seed)
+    square_range = np.asarray(square_range)
+    sides = rng.choice(square_range, size=(num_squares,))
+    start = (sides + 1) // 2
+    finish = img_size - (sides + 1) // 2
+    cx = start + (rng.random(num_squares) * (finish - start)).astype(int)
+    cy = start + (rng.random(num_squares) * (finish - start)).astype(int)
+    mx, my = _square_masks(cx, cy, sides, img_size)
+    return (mx[:, :, None] & my[:, None, :]).astype(np.float32).reshape(
+        num_squares, -1)
+
+
+def fixed_gaussians_constants(num_gaussians, img_size, seed):
+    """Fixed blob centers of FixedGaussiansManifold (same seeded draw as
+    generate_fixed_gaussians).  Returns dist2 (K, H, W) float32."""
+    rng = np.random.default_rng(seed)
+    flat = rng.choice(img_size * img_size, size=num_gaussians, replace=False)
+    cx, cy = flat // img_size, flat % img_size
+    xx, yy = np.meshgrid(np.arange(img_size), np.arange(img_size), indexing="ij")
+    dist2 = (xx[None] - cx[:, None, None]) ** 2 + (yy[None] - cy[:, None, None]) ** 2
+    return dist2.astype(np.float32)
+
+
 def bubble_centers(num_mixtures: int) -> np.ndarray:
     """Mixture centers evenly spaced on the unit circle (:210-221)."""
     if num_mixtures == 1:
@@ -152,6 +180,55 @@ class SyntheticDataModule(ArrayDataModule):
                 d.image_size, seed,
             )
         raise NotImplementedError(f"Unknown synthetic dataset_type '{kind}'")
+
+    # --- on-device virtual dataset (TPU-native fast path) --------------------
+    # The fixed-* manifolds are procedural: the manifold is defined by a few
+    # host constants (mask layout / blob centers, drawn from the config seed)
+    # and each sample by K per-sample uniforms.  `device_generator` returns a
+    # jittable gen(indices) that synthesizes sample i from
+    # fold_in(key, i) entirely on device — a FIXED virtual dataset (same
+    # index → same image, forever) with ZERO host→device batch traffic.
+    # The per-sample RNG realization differs from the numpy host dataset
+    # (documented in PARITY.md); the manifold constants are identical.
+    def supports_device_generation(self) -> bool:
+        return self.config.data.dataset_type in (
+            "FixedSquaresManifold", "FixedGaussiansManifold")
+
+    def device_generator(self):
+        import jax
+        import jax.numpy as jnp
+
+        d = self.config.data
+        img = int(d.image_size)
+        # decouple the sample stream from other consumers of the run seed
+        base = jax.random.fold_in(jax.random.PRNGKey(self.seed), 0x1DD1FF)
+        if d.dataset_type == "FixedSquaresManifold":
+            masks = jnp.asarray(fixed_squares_constants(
+                d.num_squares, list(d.square_range), img, self.seed))
+
+            def sample_one(idx):
+                key = jax.random.fold_in(base, idx)
+                coeffs = jax.random.uniform(key, (masks.shape[0],))
+                return (coeffs @ masks).reshape(img, img, 1)
+
+        elif d.dataset_type == "FixedGaussiansManifold":
+            dist2 = jnp.asarray(fixed_gaussians_constants(
+                d.num_gaussians, img, self.seed))
+            s0, s1 = (float(v) for v in d.std_range)
+
+            def sample_one(idx):
+                key = jax.random.fold_in(base, idx)
+                stds = jax.random.uniform(
+                    key, (dist2.shape[0], 1, 1), minval=s0, maxval=s1)
+                amp = 1.0 / (jnp.sqrt(2 * jnp.pi) * stds)
+                im = (amp * jnp.exp(-dist2 / (2 * stds**2))).sum(axis=0)
+                mn, mx = im.min(), im.max()
+                return ((im - mn) / (mx - mn))[..., None]
+
+        else:
+            raise NotImplementedError(
+                f"on_device_generation unsupported for {d.dataset_type!r}")
+        return jax.vmap(sample_one)
 
     # --- analytic oracle for GaussianBubbles (:266-302) ----------------------
     def log_prob(self, xs, ts, sde):

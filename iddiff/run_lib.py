@@ -56,6 +56,8 @@ def _restore_eval_params(config, model, datamodule, workdir):
 
     rng = jax.random.PRNGKey(int(config.get("seed", 42)))
     loader_batch = next(iter(datamodule.train_dataloader()))
+    if getattr(datamodule, "virtual", False):  # index batch → materialize
+        loader_batch = datamodule._gen_np(np.asarray(loader_batch))
     x, t = example_init_inputs(config, loader_batch)
     params = model.init({"params": rng, "dropout": rng}, x, t)["params"]
     ckpt_path = config.model.get("checkpoint_path", None) or workdir
@@ -122,9 +124,14 @@ def get_manifold_dimension(config, workdir: str | None = None, name: str = None,
     if est_batch is None:
         est_batch = config.training.batch_size
 
-    data = jnp.asarray(select_datapoints(
-        np.asarray(datamodule.train_data), num_datapoints,
-        int(config.get("seed", 42))))
+    if getattr(datamodule, "virtual", False):
+        # virtual on-device dataset: synthesize just the selected points
+        data = jnp.asarray(datamodule.train_datapoints(
+            num_datapoints, int(config.get("seed", 42))))
+    else:
+        data = jnp.asarray(select_datapoints(
+            np.asarray(datamodule.train_data), num_datapoints,
+            int(config.get("seed", 42))))
     mesh = make_mesh()
     # chunk the datapoint axis: vmapping all P points at once multiplies
     # activation memory by P (prohibitive for image-scale nets); one

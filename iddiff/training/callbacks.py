@@ -61,7 +61,9 @@ class ScoreSpectrumVisualization(Callback):
         from iddiff.id import dims_from_spectra, make_spectra_fn, save_spectra
 
         n_points = cfg.logging.get("svd_points", 5)
-        data = jnp.asarray(trainer.datamodule.train_data[:n_points])
+        dm = trainer.datamodule
+        data = jnp.asarray(dm.train_head(n_points)) if hasattr(
+            dm, "train_head") else jnp.asarray(dm.train_data[:n_points])
         mesh = trainer.mesh
         if data.shape[0] % mesh.shape["data"] != 0:
             mesh = None  # too few points to shard evenly — run replicated

@@ -23,7 +23,7 @@ from .state import TrainState
 
 def make_train_step(loss_fn, optimizer, ema_rate: float, mesh=None,
                     state_sharding=None, with_scalars: bool = False,
-                    weighted: bool = False):
+                    weighted: bool = False, jit_compile: bool = True):
     """Build `train_step(state, batch[, scalars]) -> (state, loss)`.
 
     loss_fn: (params, batch, rng[, scalars]) -> scalar.  `scalars` is an
@@ -84,6 +84,8 @@ def make_train_step(loss_fn, optimizer, ema_rate: float, mesh=None,
         )
         return new_state, loss
 
+    if not jit_compile:  # raw step fn, for tracing inside lax.scan
+        return train_step
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,))
 
@@ -96,6 +98,54 @@ def make_train_step(loss_fn, optimizer, ema_rate: float, mesh=None,
     return jax.jit(
         train_step,
         in_shardings=in_shardings,
+        out_shardings=(state_in, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_train_block(loss_fn, optimizer, ema_rate: float, gen_fn,
+                     mesh=None, state_sharding=None):
+    """Scan-fused training: `train_block(state, idx_blk, w_blk) ->
+    (state, losses)` runs `block_size` weighted train steps in ONE XLA
+    dispatch, synthesizing each batch ON DEVICE with `gen_fn(indices)`.
+
+    This is the TPU-native hot loop for procedural datasets
+    (data.on_device_generation): the host ships only an int32 index block
+    (block_size, B) and a float32 weight block — a few KB — instead of a
+    per-step image batch, so neither host↔device latency nor link bandwidth
+    touches the step time.  Rows whose weights are all zero (epoch/budget
+    tail padding) are SKIPPED via lax.cond: state (incl. step counter, RNG,
+    Adam moments, EMA) passes through untouched, keeping step semantics
+    identical to the per-step path — verified bit-for-bit in
+    tests/test_device_gen.py.
+
+    Gradient math per row is identical to make_train_step(weighted=True).
+    """
+    inner = make_train_step(loss_fn, optimizer, ema_rate, weighted=True,
+                            jit_compile=False)
+
+    def train_block(state: TrainState, idx_blk, w_blk):
+        def body(st, xs):
+            idx, w = xs
+
+            def do(st):
+                return inner(st, gen_fn(idx), w)
+
+            def skip(st):
+                return st, jnp.float32(0)
+
+            return jax.lax.cond(jnp.sum(w) > 0, do, skip, st)
+
+        return jax.lax.scan(body, state, (idx_blk, w_blk))
+
+    if mesh is None:
+        return jax.jit(train_block, donate_argnums=(0,))
+    repl = NamedSharding(mesh, P())
+    blk = NamedSharding(mesh, P(None, "data"))
+    state_in = state_sharding if state_sharding is not None else repl
+    return jax.jit(
+        train_block,
+        in_shardings=(state_in, blk, blk),
         out_shardings=(state_in, repl),
         donate_argnums=(0,),
     )
@@ -119,7 +169,8 @@ def make_eval_step(loss_fn, mesh=None, use_ema: bool = True):
     )
 
 
-def make_weighted_eval_step(loss_fn, mesh=None, use_ema: bool = True):
+def make_weighted_eval_step(loss_fn, mesh=None, use_ema: bool = True,
+                            gen_fn=None):
     """`eval_step(state, batch, rng, weights) -> sum_i w_i * loss_i` with
     per-sample losses.
 
@@ -134,6 +185,8 @@ def make_weighted_eval_step(loss_fn, mesh=None, use_ema: bool = True):
 
     def eval_step(state: TrainState, batch, rng, weights):
         params = state.ema_params if use_ema else state.params
+        if gen_fn is not None:  # batch is an int32 index vector
+            batch = gen_fn(batch)
         arrs = batch if isinstance(batch, tuple) else (batch,)
         n = arrs[0].shape[0]
         rngs = jax.random.split(rng, n)

@@ -26,7 +26,11 @@ from .checkpoints import CheckpointKeeper
 from .metrics import MetricsWriter
 from .optim import make_optimizer
 from .state import TrainState
-from .train_step import make_train_step, make_weighted_eval_step
+from .train_step import (
+    make_train_block,
+    make_train_step,
+    make_weighted_eval_step,
+)
 
 
 def pad_to_multiple(batch, n: int):
@@ -133,6 +137,27 @@ class Trainer:
         self.eval_step = make_weighted_eval_step(
             self.eval_loss_fn, mesh=self.mesh)
 
+        # On-device virtual dataset (data.on_device_generation): the hot
+        # loop becomes ONE scan-fused XLA dispatch per log interval, fed
+        # only int32 index blocks — no per-step batch upload, no per-step
+        # dispatch latency.  Batches are synthesized on device by the
+        # datamodule's index-keyed generator (iddiff/data/synthetic.py).
+        self._virtual = bool(getattr(self.datamodule, "virtual", False))
+        if self._virtual:
+            if self.scalars_fn is not None:
+                raise NotImplementedError(
+                    "on_device_generation does not support modules with "
+                    "per-step host scalars (decreasing-variance/FP "
+                    "schedules); disable one of the two")
+            self.gen_fn = self.datamodule.device_generator()
+            self.train_block = make_train_block(
+                self.train_loss_fn, self.optimizer,
+                ema_rate=float(config.model.get("ema_rate", 0.999)),
+                gen_fn=self.gen_fn, mesh=self.mesh,
+            )
+            self.eval_step = make_weighted_eval_step(
+                self.eval_loss_fn, mesh=self.mesh, gen_fn=self.gen_fn)
+
         self.metrics = MetricsWriter(
             workdir, enabled=jax.process_index() == 0
         )
@@ -154,6 +179,8 @@ class Trainer:
     # ------------------------------------------------------------------
     def _example_batch(self):
         batch = next(iter(self.datamodule.train_dataloader()))
+        if self._virtual:  # loader yields indices; synthesize on device
+            batch = self.gen_fn(jnp.asarray(batch, jnp.int32))
         return batch
 
     def _init_inputs(self, batch):
@@ -204,6 +231,18 @@ class Trainer:
             t0 = time.time()
             losses = []
             padded_tail = 0
+            if self._virtual:
+                step, losses, done = self._fit_epoch_virtual(
+                    epoch, step, n_iters, log_freq)
+                epoch_time = time.time() - t0
+                if profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    profile_dir = None
+                    print(f"[iddiff] wrote profiler trace for epoch {epoch}")
+                self._post_epoch(epoch, step, losses, epoch_time, done,
+                                 num_epochs)
+                continue
             for batch in self.datamodule.train_dataloader():
                 # Wrap-pad EVERY batch to the single compiled shape
                 # self._train_pad (nominal batch rounded up to the mesh
@@ -249,27 +288,91 @@ class Trainer:
                 profile_dir = None
                 print(f"[iddiff] wrote profiler trace for epoch {epoch}")
 
-            # --- validation with EMA weights (+ top-k checkpointing) ---
-            # eval_freq_epochs amortizes the orbax save + val pass for small
-            # fast epochs (the reference's eval_freq in steps, run_lib.py:64)
-            eval_every = int(cfg.logging.get("eval_freq_epochs", 1) or 1)
-            if epoch % eval_every == 0 or done or epoch == num_epochs - 1:
-                eval_metrics = self.validate(epoch)
-                eval_metrics["epoch_time"] = epoch_time
-                if losses:
-                    eval_metrics["train_loss_epoch"] = float(np.mean(losses))
-                for cb in self.callbacks:
-                    cb.on_validation_end(self, epoch, eval_metrics)
-                self.metrics.scalars(step, **{
-                    k: v for k, v in eval_metrics.items() if np.isscalar(v)
-                })
-                self.keeper.save_eval(step, self.state,
-                                      eval_metrics["eval_loss"])
-            self.keeper.maybe_save_periodic(step, self.state, epoch)
-            for cb in self.callbacks:
-                cb.on_epoch_end(self, epoch)
+            self._post_epoch(epoch, step, losses, epoch_time, done,
+                             num_epochs)
         self.keeper.wait()
         return self.state
+
+    def _post_epoch(self, epoch, step, losses, epoch_time, done, num_epochs):
+        """Validation with EMA weights, callbacks and checkpoint cadences —
+        shared epoch tail of the per-step and scan-fused training loops.
+        eval_freq_epochs amortizes the orbax save + val pass for small fast
+        epochs (the reference's eval_freq in steps, run_lib.py:64)."""
+        cfg = self.config
+        eval_every = int(cfg.logging.get("eval_freq_epochs", 1) or 1)
+        if epoch % eval_every == 0 or done or epoch == num_epochs - 1:
+            eval_metrics = self.validate(epoch)
+            eval_metrics["epoch_time"] = epoch_time
+            if losses:
+                eval_metrics["train_loss_epoch"] = float(np.mean(losses))
+            for cb in self.callbacks:
+                cb.on_validation_end(self, epoch, eval_metrics)
+            self.metrics.scalars(step, **{
+                k: v for k, v in eval_metrics.items() if np.isscalar(v)
+            })
+            self.keeper.save_eval(step, self.state,
+                                  eval_metrics["eval_loss"])
+        self.keeper.maybe_save_periodic(step, self.state, epoch)
+        for cb in self.callbacks:
+            cb.on_epoch_end(self, epoch)
+
+    def _fit_epoch_virtual(self, epoch, step, n_iters, log_freq):
+        """One training epoch over the virtual on-device dataset.
+
+        The loader yields int32 index batches; `log_freq` of them are packed
+        into a (log_freq, B) block and dispatched as ONE scan-fused XLA call
+        (make_train_block).  Ragged batch tails and the epoch/budget tail
+        are weight-0 rows that lax.cond skips, so step counting, RNG streams
+        and gradients are exactly those of the per-step path.
+        """
+        k = int(self.config.training.get("block_steps", 0)) or int(log_freq)
+        B = self._train_pad
+        losses: list[float] = []
+        blk_idx = np.zeros((k, B), np.int32)
+        blk_w = np.zeros((k, B), np.float32)
+
+        def dispatch(rows_filled):
+            nonlocal step
+            valid = min(rows_filled, max(n_iters - step, 0))
+            if valid <= 0:
+                return
+            blk_w[valid:] = 0.0  # budget tail: skipped rows
+            d_idx, d_w = self._shard_block(blk_idx, blk_w)
+            self.state, ls = self.train_block(self.state, d_idx, d_w)
+            step += valid
+            loss = float(ls[valid - 1])
+            losses.append(loss)
+            self.metrics.scalars(step, train_loss=loss)
+
+        row = 0
+        for idx_batch in self.datamodule.train_dataloader():
+            idx_batch = np.asarray(idx_batch)
+            lead = idx_batch.shape[0]
+            blk_idx[row, :lead] = idx_batch
+            if lead < B:  # wrap-pad to the compiled width, weight 0
+                blk_idx[row, lead:] = idx_batch[0]
+            blk_w[row, :lead] = 1.0
+            blk_w[row, lead:] = 0.0
+            row += 1
+            if row == k:
+                dispatch(k)
+                row = 0
+                if step >= n_iters:
+                    return step, losses, True
+        if row:
+            dispatch(row)
+        return step, losses, step >= n_iters
+
+    def _shard_block(self, idx, w):
+        """Place (k, B) index/weight blocks sharded over 'data' on axis 1."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(self.mesh, P(None, "data"))
+        if jax.process_count() > 1:
+            return tuple(
+                jax.make_array_from_process_local_data(sharding, np.asarray(a))
+                for a in (idx, w))
+        return tuple(jax.device_put(a, sharding) for a in (idx, w))
 
     def validate(self, epoch: int) -> dict:
         """Full-split validation with EMA weights.  Evaluates every sample
@@ -309,7 +412,10 @@ class Trainer:
             dev_batch, dev_w = shard_batch(
                 self.mesh, (self._to_device(padded), weights))
             if first_batch is None:
-                first_batch = dev_batch
+                # virtual mode iterates index batches; materialize the first
+                # one so run_lib.test's metrics path sees real samples
+                first_batch = self.gen_fn(dev_batch) if self._virtual \
+                    else dev_batch
             # eval_step returns the GLOBAL weighted sum (psum over shards);
             # hosts iterate in lockstep with equal local counts, so the
             # global true count is n_true * process_count.
@@ -331,7 +437,9 @@ class Trainer:
         from iddiff.sampling import get_sampling_fn
 
         cfg = self.config
-        data_shape = tuple(self.datamodule.train_data.shape[1:])
+        dm = self.datamodule
+        data_shape = tuple(dm.data_shape) if hasattr(dm, "data_shape") \
+            else tuple(dm.train_data.shape[1:])
         if cfg.training.get("lightning_module", "base") == "haar_multiscale":
             # the model lives in Haar space (HaarMultiScale...py:62-69)
             H, W, C = data_shape
