@@ -46,14 +46,20 @@ def _rebuild():
     # checkpoints force a from-scratch run anyway.
     c.data.on_device_generation = True
     c.logging.eval_freq_epochs = 4
-    return c
+    return _apply_fast_path(c)
 
 
 def _apply_fast_path(c):
     """Used when resuming from a surviving pickled config: layer the
     round-4 fast-path flags onto it."""
+    import datetime
+
     c.data.on_device_generation = True
     c.logging.eval_freq_epochs = 4
+    # wall-clock 'last' cadence: the epoch cadence alone (every 8 epochs
+    # = 25k steps ~ 38 min) left the 25-min auto-archiver up to an hour
+    # stale across host rebuilds; 15-min saves bound the loss at ~40 min
+    c.logging.envery_timedelta = datetime.timedelta(minutes=15)
     return c
 
 
