@@ -1,0 +1,154 @@
+#!/usr/bin/env bash
+# Round-5 chip plan: carry squares-10 to its 500k budget hands-off.
+#
+# The 11->10 crossing (VERDICT r3 #2) is chip-time-bound: ~7h at 11
+# steps/s from a low checkpoint after two host rebuilds.  This plan makes
+# the crossing land without manual attention, across any number of
+# session/rebuild boundaries:
+#   - keeps the trainer + watchdog (MIN_RATE guard) + 25-min checkpoint
+#     archiver alive (revives whichever died, restores the workdir from
+#     the newest git-tracked archive after a rebuild)
+#   - at every ESTIMATE_EVERY-step milestone (default 50k): stops
+#     training, runs the 50-point fp32 estimate at the newest checkpoint,
+#     archives the pickle to artifacts/squares10_trajectory/ with a
+#     pathspec-scoped commit, prints the per-point dims + median to the
+#     log, and resumes training
+#   - when the median first reads <= 10 (truth: SyntheticDataset.py:118-123)
+#     it drops /tmp/squares_crossing_step_<S> as a marker; training still
+#     continues to the budget (more trajectory points are free evidence)
+# Safe to rerun: every phase is guarded by on-disk state (milestones are
+# derived from which estimate artifacts already exist).
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/chip_plan_r5.log
+WD=logs/squares_paper/10
+METRICS=$WD/metrics.jsonl
+# run2: the post-rebuild from-scratch run (on-device generation RNG) — its
+# estimates must not share a namespace with the lost 328k run's artifacts,
+# or the milestone scan would skip everything below 350k
+ART_DIR=artifacts/squares10_trajectory/run2
+EST_EVERY=${EST_EVERY:-50000}
+TARGET=${TARGET:-499999}
+echo "$(date -u) chip_plan_r5 start" >> "$LOG"
+rm -f "${STOP_FILE:-/tmp/iddiff_watchdog.stop}" /tmp/iddiff_auto_archive.stop
+
+alive() {
+  local P
+  P=$(cat "$1" 2>/dev/null) || return 1
+  [ -n "$P" ] && kill -0 "$P" 2>/dev/null
+}
+
+kill_wait() {
+  local P
+  P=$(cat "$1" 2>/dev/null) || return 0
+  [ -n "$P" ] || return 0
+  kill "$P" 2>/dev/null
+  for _ in $(seq 1 10); do
+    kill -0 "$P" 2>/dev/null || return 0
+    sleep 2
+  done
+  kill -9 "$P" 2>/dev/null
+  sleep 2
+  return 0
+}
+
+newest_ckpt() {
+  ls "$WD/last" 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1
+}
+
+launch_trainer() {
+  nohup python -u main.py --config cluster/runs/squares10_resume.py \
+    --mode train --workdir "$WD" --resume \
+    > /tmp/squares10_train.log 2>&1 &
+  echo $! > /tmp/squares10.pid
+  echo "$(date -u) chip_plan_r5: trainer launched $(cat /tmp/squares10.pid)" >> "$LOG"
+}
+
+ensure_supervised() {
+  # after a host rebuild the workdir is gone: restore the newest archive
+  if [ ! -d "$WD/last" ]; then
+    AR=$(ls -t artifacts/checkpoints/squares10_step*.tar.gz 2>/dev/null | head -1)
+    if [ -n "${AR:-}" ]; then
+      bash cluster/restore_checkpoint.sh "$AR" "$WD" >> "$LOG" 2>&1
+      echo "$(date -u) chip_plan_r5: restored $AR" >> "$LOG"
+    fi
+  fi
+  alive /tmp/squares10.pid || launch_trainer
+  if ! alive /tmp/squares10_watchdog.pid; then
+    STALL_S=1800 MIN_RATE=2 nohup bash cluster/watchdog.sh /tmp/squares10.pid \
+      "$METRICS" cluster/runs/squares10_resume.py "$WD" \
+      /tmp/squares10 > /tmp/squares10_watchdog.out 2>&1 &
+    echo $! > /tmp/squares10_watchdog.pid
+  fi
+  if ! alive /tmp/auto_archive.pid; then
+    nohup bash cluster/auto_archive.sh "$WD" squares10 1500 \
+      > /tmp/auto_archive_sq.out 2>&1 &
+    echo $! > /tmp/auto_archive.pid
+  fi
+}
+
+# next milestone = first multiple of EST_EVERY with no estimate artifact yet
+next_milestone() {
+  local done
+  done=$(ls "$ART_DIR"/estimate50_steps_*.pkl 2>/dev/null \
+    | sed -n 's/.*steps_\([0-9]*\)\.pkl/\1/p' | sort -n | tail -1)
+  done=${done:-0}
+  echo $(( (done / EST_EVERY + 1) * EST_EVERY ))
+}
+
+run_estimate() {  # $1 = checkpoint step the estimate is keyed to
+  local S=$1 ART NEW RC
+  ART="$ART_DIR/estimate50_steps_${S}.pkl"
+  [ -f "$ART" ] && return 0
+  kill_wait /tmp/squares10_watchdog.pid
+  kill_wait /tmp/squares10.pid
+  timeout 7200 python -u main.py --config cluster/runs/squares10_estimate.py \
+    --mode manifold_dimension --workdir "$WD" \
+    > /tmp/squares10_estimate_${S}.log 2>&1
+  RC=$?
+  NEW=$(ls -t "$WD"/svd/*.pkl 2>/dev/null | head -1)
+  if [ "$RC" = "0" ] && [ -n "${NEW:-}" ]; then
+    mkdir -p "$ART_DIR"
+    cp "$NEW" "$ART"
+    git add "$ART" && git commit \
+      -m "squares-10: 50-point estimate at step ${S}" -- "$ART" \
+      >> "$LOG" 2>&1 || true
+    python - "$ART" "$S" <<'PY' >> "$LOG" 2>&1
+import pickle, sys
+import numpy as np
+sys.path.insert(0, ".")
+from iddiff.id import dims_from_spectra
+with open(sys.argv[1], "rb") as f:
+    svd = pickle.load(f)
+dims = dims_from_spectra(np.asarray(svd["singular_values"]))
+med = float(np.median(dims))
+vals, counts = np.unique(np.asarray(dims, int), return_counts=True)
+print(f"estimate@{sys.argv[2]}: median={med:.0f} "
+      f"dist={dict(zip(vals.tolist(), counts.tolist()))}")
+if med <= 10:
+    open(f"/tmp/squares_crossing_step_{sys.argv[2]}", "w").close()
+    print("CROSSING: median <= 10")
+PY
+    echo "$(date -u) chip_plan_r5: archived $ART (rc=$RC)" >> "$LOG"
+  else
+    echo "$(date -u) chip_plan_r5: estimate at $S FAILED rc=$RC" >> "$LOG"
+  fi
+}
+
+MILESTONE=$(next_milestone)
+echo "$(date -u) chip_plan_r5: first milestone $MILESTONE" >> "$LOG"
+while true; do
+  ensure_supervised
+  S=$(newest_ckpt); S=${S:-0}
+  if [ "$S" -ge "$TARGET" ]; then
+    run_estimate "$S"
+    echo "$(date -u) chip_plan_r5: budget reached at $S — done" >> "$LOG"
+    exit 0
+  fi
+  if [ "$S" -ge "$MILESTONE" ]; then
+    run_estimate "$S"
+    MILESTONE=$(next_milestone)
+    echo "$(date -u) chip_plan_r5: next milestone $MILESTONE" >> "$LOG"
+  fi
+  sleep 600
+done
