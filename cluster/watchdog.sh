@@ -37,6 +37,25 @@ while true; do
   ALIVE=0; [ -n "${PID:-}" ] && kill -0 "$PID" 2>/dev/null && ALIVE=1
   AGE=9999
   [ -f "$METRICS" ] && AGE=$(( $(date +%s) - $(stat -c %Y "$METRICS") ))
+  # Startup-phase hang detection: a fresh process that has written NO
+  # metrics yet (newest entry predates the process) can wedge in its
+  # first device RPC (client CPU frozen, all threads in futex/poll —
+  # observed twice on 2026-08-20, plus the 2h blobs hang).  Healthy
+  # startups deliver first metrics in <=16 min (blobs history: 520-950s),
+  # so recycle startup hangs after STARTUP_STALL_S instead of STALL_S.
+  STARTUP_STALL_S=${STARTUP_STALL_S:-1200}
+  if [ "$ALIVE" = "1" ] && [ -d "/proc/$PID" ]; then
+    PAGE=$(( $(date +%s) - $(stat -c %Y "/proc/$PID") ))
+    LASTM=0
+    [ -f "$METRICS" ] && LASTM=$(tail -1 "$METRICS" | sed -n 's/.*"time": \([0-9]*\)\..*/\1/p')
+    LASTM=${LASTM:-0}
+    PSTART=$(( $(date +%s) - PAGE ))
+    if [ "$LASTM" -lt "$PSTART" ] && [ "$PAGE" -gt "$STARTUP_STALL_S" ]; then
+      AGE=$((STALL_S + 1))  # force the restart branch below
+      echo "$(date -u) watchdog: startup hang (proc age ${PAGE}s, no metrics from this process)" \
+          >> "${LOGP}_watchdog.log"
+    fi
+  fi
   SLOW=0
   if [ "$MIN_RATE" != "0" ] && [ "$ALIVE" = "1" ] && [ -f "$METRICS" ]; then
     RATE=$(tail -2 "$METRICS" | python3 -c '
