@@ -168,9 +168,11 @@ def get_manifold_dimension(config, workdir: str | None = None, name: str = None,
         parts.append(np.asarray(out))
     spectra = np.concatenate(parts, axis=0)
     info = {"singular_values": [list(map(float, s)) for s in spectra]}
-    dims = dims_from_spectra(spectra)
-    print(f"[iddiff] estimated dims (n={len(dims)}): median={np.median(dims)}, "
-          f"all={list(dims)}")
+    rule = (de.get("readout", "reference") if de is not None else "reference")
+    tail = (de.get("readout_tail", None) if de is not None else None)
+    dims = dims_from_spectra(spectra, rule=rule, tail=tail)
+    print(f"[iddiff] estimated dims (n={len(dims)}, rule={rule}): "
+          f"median={np.median(dims)}, all={list(dims)}")
     if return_svd:
         return info
     save_spectra(spectra, os.path.join(wd, "svd"), name=name or "svd")

@@ -80,8 +80,13 @@ class ScoreSpectrumVisualization(Callback):
         spectra = self._cached[0](
             jax.random.PRNGKey(epoch), trainer.state.ema_params, data
         )
-        dims = dims_from_spectra(np.asarray(spectra))
+        de = cfg.get("dim_estimation", None)
+        rule = (de.get("readout", "reference") if de is not None else "reference")
+        dims = dims_from_spectra(np.asarray(spectra), rule=rule)
         metrics["dim"] = float(np.median(dims))
+        # always log the scale-invariant read-out alongside (see readout.py)
+        metrics["dim_log_gap"] = float(np.median(
+            dims_from_spectra(np.asarray(spectra), rule="log_gap")))
         if cfg.logging.get("save_svd", False):
             # keyed by global step, not epoch: epoch counters restart at 0 on
             # every --resume, so epoch-keyed files silently overwrite spectra

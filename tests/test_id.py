@@ -345,3 +345,45 @@ def test_restore_which_selects_cadence(tmp_path):
     np.testing.assert_allclose(np.asarray(leaf_best), np.asarray(leaf_a))
     np.testing.assert_allclose(np.asarray(leaf_last),
                                np.asarray(leaf_a) + 1.0)
+
+
+def test_readout_log_gap_synthetic():
+    """Straggler scenario (RESULTS.md "The +1 is the read-out"): bulk at
+    ~3500, one weak-normal straggler at 1500, k true-tangent values ~50.
+    The reference absolute-difference rule cuts at the bulk edge (k+1);
+    the scale-invariant log_gap rule cuts after the straggler (k)."""
+    d, k = 64, 10
+    s = np.concatenate([
+        np.linspace(3700, 3500, d - k - 1), [1500.0],
+        np.linspace(55, 35, k),
+    ])
+    assert dim_from_spectrum(s, rule="reference") == k + 1
+    assert dim_from_spectrum(s, rule="log_gap") == k
+    # on a clean cliff both rules agree
+    clean = np.concatenate([np.linspace(100, 50, d - k), np.linspace(1.0, 0.5, k)])
+    assert dim_from_spectrum(clean, rule="reference") == k
+    assert dim_from_spectrum(clean, rule="log_gap") == k
+    # tail knob applies to either rule (plot_utils.py:178-180)
+    assert dim_from_spectrum(s, rule="reference", tail=k) <= k
+
+
+@pytest.mark.parametrize("art,ref_median,lg_median", [
+    ("artifacts/squares10_trajectory/estimate50_steps_328125.pkl", 11, 10),
+    ("artifacts/blobs10_trajectory/estimate50_steps_120000.pkl", 11, 10),
+    ("artifacts/ksphere50_tpu_svd.pkl", 50, 50),
+    ("artifacts/line_tpu_svd.pkl", 2, 1),
+])
+def test_readout_rules_on_archived_spectra(art, ref_median, lg_median):
+    """Regression-pin the measured read-outs on the archived paper-model
+    spectra: reference rule reads truth+1 on the image manifolds and line,
+    log_gap reads the exact truth (10 / 10 / 50 / 1)."""
+    import os
+    import pickle
+
+    path = os.path.join(os.path.dirname(__file__), "..", art)
+    if not os.path.exists(path):
+        pytest.skip(f"{art} not present")
+    with open(path, "rb") as f:
+        sv = np.asarray(pickle.load(f)["singular_values"])
+    assert np.median(dims_from_spectra(sv, rule="reference")) == ref_median
+    assert np.median(dims_from_spectra(sv, rule="log_gap")) == lg_median
