@@ -80,10 +80,12 @@ ensure_supervised() {
       /tmp/squares10 > /tmp/squares10_watchdog.out 2>&1 &
     echo $! > /tmp/squares10_watchdog.pid
   fi
-  if ! alive /tmp/auto_archive.pid; then
+  # run-scoped pid file: the generic /tmp/auto_archive.pid could match an
+  # unrelated archiver or a recycled pid (advisor r4 low #4)
+  if ! alive /tmp/auto_archive_squares10.pid; then
     nohup bash cluster/auto_archive.sh "$WD" squares10 1500 \
       > /tmp/auto_archive_sq.out 2>&1 &
-    echo $! > /tmp/auto_archive.pid
+    echo $! > /tmp/auto_archive_squares10.pid
   fi
 }
 
@@ -97,11 +99,21 @@ next_milestone() {
 }
 
 run_estimate() {  # $1 = checkpoint step the estimate is keyed to
-  local S=$1 ART NEW RC
+  local S=$1 ART NEW RC S2
   ART="$ART_DIR/estimate50_steps_${S}.pkl"
   [ -f "$ART" ] && return 0
   kill_wait /tmp/squares10_watchdog.pid
   kill_wait /tmp/squares10.pid
+  # the 15-min wall-clock cadence (or a save during shutdown) can land a
+  # newer 'last' after we read S — re-key the artifact to the checkpoint
+  # the estimate will actually restore (advisor r4 low #2)
+  S2=$(newest_ckpt); S2=${S2:-$S}
+  if [ "$S2" != "$S" ]; then
+    echo "$(date -u) chip_plan_r5: re-keying estimate $S -> $S2 (newer ckpt)" >> "$LOG"
+    S=$S2
+    ART="$ART_DIR/estimate50_steps_${S}.pkl"
+    [ -f "$ART" ] && return 0
+  fi
   timeout 7200 python -u main.py --config cluster/runs/squares10_estimate.py \
     --mode manifold_dimension --workdir "$WD" \
     > /tmp/squares10_estimate_${S}.log 2>&1
@@ -120,14 +132,19 @@ sys.path.insert(0, ".")
 from iddiff.id import dims_from_spectra
 with open(sys.argv[1], "rb") as f:
     svd = pickle.load(f)
-dims = dims_from_spectra(np.asarray(svd["singular_values"]))
+sv = np.asarray(svd["singular_values"])
+dims = dims_from_spectra(sv)
+lg = dims_from_spectra(sv, rule="log_gap")
 med = float(np.median(dims))
+medlg = float(np.median(lg))
 vals, counts = np.unique(np.asarray(dims, int), return_counts=True)
-print(f"estimate@{sys.argv[2]}: median={med:.0f} "
-      f"dist={dict(zip(vals.tolist(), counts.tolist()))}")
-if med <= 10:
+lv, lc = np.unique(np.asarray(lg, int), return_counts=True)
+print(f"estimate@{sys.argv[2]}: ref median={med:.0f} "
+      f"dist={dict(zip(vals.tolist(), counts.tolist()))} | "
+      f"log_gap median={medlg:.0f} dist={dict(zip(lv.tolist(), lc.tolist()))}")
+if medlg <= 10:
     open(f"/tmp/squares_crossing_step_{sys.argv[2]}", "w").close()
-    print("CROSSING: median <= 10")
+    print("CROSSING: log_gap median <= 10")
 PY
     echo "$(date -u) chip_plan_r5: archived $ART (rc=$RC)" >> "$LOG"
   else
@@ -147,7 +164,22 @@ while true; do
   fi
   if [ "$S" -ge "$MILESTONE" ]; then
     run_estimate "$S"
-    MILESTONE=$(next_milestone)
+    NEXT=$(next_milestone)
+    if [ "$NEXT" -le "$MILESTONE" ]; then
+      # estimate failed (no new artifact): retry at most once, then skip
+      # this milestone so the loop can't burn the round relaunching the
+      # trainer every 10 min (advisor r4 medium #1); training continues
+      # and the milestone can be re-estimated later from the archive
+      FAILS=$((${FAILS:-0} + 1))
+      if [ "$FAILS" -ge 2 ]; then
+        echo "$(date -u) chip_plan_r5: milestone $MILESTONE failed $FAILS times — skipping" >> "$LOG"
+        MILESTONE=$(( MILESTONE + EST_EVERY ))
+        FAILS=0
+      fi
+    else
+      MILESTONE=$NEXT
+      FAILS=0
+    fi
     echo "$(date -u) chip_plan_r5: next milestone $MILESTONE" >> "$LOG"
   fi
   sleep 600

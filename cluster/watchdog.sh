@@ -44,16 +44,29 @@ while true; do
   # startups deliver first metrics in <=16 min (blobs history: 520-950s),
   # so recycle startup hangs after STARTUP_STALL_S instead of STALL_S.
   STARTUP_STALL_S=${STARTUP_STALL_S:-1200}
-  if [ "$ALIVE" = "1" ] && [ -d "/proc/$PID" ]; then
-    PAGE=$(( $(date +%s) - $(stat -c %Y "/proc/$PID") ))
+  if [ "$ALIVE" = "1" ] && [ -f "/proc/$PID/stat" ]; then
+    # true process start time: /proc/<pid>/stat field 22 (starttime, in
+    # clock ticks since boot) + btime — procfs inode mtimes are not a
+    # reliable start proxy (advisor r4 low #3)
+    STT=$(awk '{print $22}' "/proc/$PID/stat" 2>/dev/null)
+    BTIME=$(awk '/^btime/{print $2}' /proc/stat)
+    HZ=$(getconf CLK_TCK 2>/dev/null || echo 100)
+    PSTART=$(( BTIME + STT / HZ ))
+    PAGE=$(( $(date +%s) - PSTART ))
     LASTM=0
     [ -f "$METRICS" ] && LASTM=$(tail -1 "$METRICS" | sed -n 's/.*"time": \([0-9]*\)\..*/\1/p')
     LASTM=${LASTM:-0}
-    PSTART=$(( $(date +%s) - PAGE ))
     if [ "$LASTM" -lt "$PSTART" ] && [ "$PAGE" -gt "$STARTUP_STALL_S" ]; then
-      AGE=$((STALL_S + 1))  # force the restart branch below
-      echo "$(date -u) watchdog: startup hang (proc age ${PAGE}s, no metrics from this process)" \
-          >> "${LOGP}_watchdog.log"
+      # debounce: a transient metrics-parse failure yields LASTM=0 for one
+      # tick; require 2 consecutive ticks before recycling
+      STARTUP_TICKS=$(( ${STARTUP_TICKS:-0} + 1 ))
+      if [ "$STARTUP_TICKS" -ge 2 ]; then
+        AGE=$((STALL_S + 1))  # force the restart branch below
+        echo "$(date -u) watchdog: startup hang (proc age ${PAGE}s, no metrics from this process)" \
+            >> "${LOGP}_watchdog.log"
+      fi
+    else
+      STARTUP_TICKS=0
     fi
   fi
   SLOW=0

@@ -388,15 +388,15 @@ class Trainer:
         return {"eval_loss": loss}
 
     def eval_split(self, loader, rng, max_batches=None, label="eval"):
-        """Exact mean loss over a full split: wrap-pad ragged batches to
-        the mesh divisor, weight pad duplicates 0 (per-sample losses from
+        """Mean loss over a split: wrap-pad ragged batches to the mesh
+        divisor, weight pad duplicates 0 (per-sample losses from
         make_weighted_eval_step), shard over the global mesh.  Returns
         (mean_loss, first_device_batch).
 
-        Multi-host caveat: EpochIterator truncates each split to a multiple
-        of process_count so hosts iterate in lockstep, which excludes up to
-        process_count-1 samples from the mean (single-host — the common
-        case — is exact over the full split)."""
+        Single-host, the mean is exact over the full split.  Multi-host it
+        is NOT quite: EpochIterator truncates each split to a multiple of
+        process_count so hosts iterate in lockstep, which silently excludes
+        up to process_count-1 samples from the mean."""
         total, count = 0.0, 0
         first_batch = None
         n_hosts = jax.process_count()
