@@ -32,6 +32,19 @@ flags.mark_flags_as_required(["config"])
 
 def main(argv):
     del argv
+    import signal
+    import sys
+
+    # Supervisors stop runs with SIGTERM (cluster/*.sh kill_wait).  Python's
+    # default SIGTERM disposition kills the process without unwinding, which
+    # leaves the tunneled-TPU session open server-side; the server garbage-
+    # collects it only after ~9-10 min, during which the NEXT client's first
+    # device RPC blocks (the "startup hang", RESULTS.md round 5).  Raising
+    # SystemExit instead unwinds the stack and runs atexit/destructors —
+    # including the PJRT client teardown — so the session closes immediately
+    # and the next process starts clean.
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
+
     from iddiff.configs.utils import read_config
     from iddiff import run_lib
 
