@@ -78,8 +78,31 @@ def main():
         float(jnp.vdot(p, p).real)
         for p in jax.tree_util.tree_leaves(state.params)
     )
+
+    # --- sharded ID estimator over the SAME global mesh (VERDICT r4 item 8:
+    # the reference's dim_reduction.py:154-202 is single-device; here the
+    # datapoint axis spans both processes).  Global-deterministic: rng is
+    # split per datapoint in GLOBAL order, so each point's spectrum must be
+    # bit-comparable between the 2-process and single-process runs.
+    from iddiff.id import make_spectra_fn
+
+    d = int(config.model.state_size)
+    pts = np.random.default_rng(11).normal(size=(4, d)).astype(np.float32)
+    spectra_fn, _K = make_spectra_fn(
+        sde, model, data_shape=(d,), batch_size=8, t=eps, mesh=mesh)
+    sharded_pts = shard_batch(mesh, pts if single else pts[
+        jax.process_index() * 2:(jax.process_index() + 1) * 2])
+    spectra = spectra_fn(jax.random.PRNGKey(3), state.params, sharded_pts)
+    if single:
+        sp = np.asarray(spectra)
+        halves = [float(sp[:2].sum()), float(sp[2:].sum())]
+    else:
+        local = np.concatenate(
+            [np.asarray(s.data) for s in spectra.addressable_shards], axis=0)
+        halves = [float(local.sum())]  # this process's half, in process order
     print("RESULT " + json.dumps(
-        {"loss": float(loss), "params_l2": params_l2}), flush=True)
+        {"loss": float(loss), "params_l2": params_l2,
+         "spectra_halves": halves}), flush=True)
 
 
 if __name__ == "__main__":

@@ -247,7 +247,10 @@ def test_real_two_process_cluster():
         line = [l for l in out.splitlines() if l.startswith("RESULT ")]
         assert line, out
         results.append(json.loads(line[0][len("RESULT "):]))
-    assert results[0] == results[1], results
+    # loss/params agree across processes; spectra_halves is per-process
+    # (each worker reports the half of the sharded datapoint axis it owns)
+    assert {k: v for k, v in results[0].items() if k != "spectra_halves"} \
+        == {k: v for k, v in results[1].items() if k != "spectra_halves"}, results
 
     single = subprocess.run(
         [sys.executable, worker], env=env_base, cwd="/root/repo",
@@ -260,3 +263,9 @@ def test_real_two_process_cluster():
         results[0]["loss"], ref["loss"], rtol=1e-5)
     np.testing.assert_allclose(
         results[0]["params_l2"], ref["params_l2"], rtol=1e-5)
+    # sharded ID estimator (VERDICT r4 item 8): each process's half of the
+    # datapoint axis must reproduce the single-process spectra
+    for i in (0, 1):
+        np.testing.assert_allclose(
+            results[i]["spectra_halves"][0], ref["spectra_halves"][i],
+            rtol=1e-4)
