@@ -24,6 +24,7 @@ contributes B rows except the last, which contributes d mod B
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -76,9 +77,15 @@ def score_spectrum_fn(sde, score_fn, *, data_shape, batch_size: int,
 
         rngs = jax.random.split(rng, num_batches)
         is_last = jnp.arange(num_batches) == num_batches - 1
+        # unroll: each scan iteration carries fixed overhead on TPU
+        # (dynamic-slice of the stacked rngs + loop plumbing, ~5.5% of
+        # device time in the round-4 trace); unrolling amortizes it and
+        # lets XLA fuse across iterations.  Program size grows by the
+        # factor, so keep it modest.
+        unroll = int(os.environ.get("IDDIFF_ID_SCAN_UNROLL", "1"))
         (gram, ssum), _ = jax.lax.scan(
             body, (jnp.zeros((d, d), jnp.float32), jnp.zeros((d,), jnp.float32)),
-            (rngs, is_last),
+            (rngs, is_last), unroll=max(1, unroll),
         )
         mu = ssum / K
         centered = gram - K * jnp.outer(mu, mu)
