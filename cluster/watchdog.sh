@@ -94,7 +94,18 @@ else:
     echo "$(date -u) watchdog: alive=$ALIVE stall_age=${AGE}s slow=$SLOW (rate=${RATE:-n/a}, min=$MIN_RATE) -> restart" \
         >> "${LOGP}_watchdog.log"
     SLOW_TICKS=0
-    [ -n "${PID:-}" ] && kill -9 "$PID" 2>/dev/null
+    # SIGTERM first: main.py converts it to a clean SystemExit that closes
+    # the TPU session (RESULTS.md round 5 — a SIGKILLed client leaves a
+    # stale session the server reaps only after ~9-10 min, during which
+    # the relaunched process blocks in its first device RPC)
+    if [ -n "${PID:-}" ]; then
+      kill "$PID" 2>/dev/null
+      for _ in $(seq 1 20); do
+        kill -0 "$PID" 2>/dev/null || break
+        sleep 2
+      done
+      kill -9 "$PID" 2>/dev/null
+    fi
     sleep 10
     nohup python -u main.py --config "$CFG" --mode train --workdir "$WD" \
         --resume > "${LOGP}_$(date -u +%H%M%S).log" 2>&1 &
