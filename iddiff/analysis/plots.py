@@ -48,9 +48,11 @@ def spectrum_figure(spectra, ground_truth=None, title="Score Spectrum"):
     return fig
 
 
-def dims_histogram_figure(spectra, title="Histogram of dimensions"):
-    """(plot_utils.py:207-238)"""
-    dims = dims_from_spectra(spectra)
+def dims_histogram_figure(spectra, title="Histogram of dimensions",
+                          rule="reference", tail=None):
+    """(plot_utils.py:207-238; `rule`/`tail` forwarded to the read-out —
+    see iddiff/id/readout.py for the log_gap deviation)"""
+    dims = dims_from_spectra(spectra, rule=rule, tail=tail)
     fig, ax = plt.subplots(figsize=(10, 7))
     ax.grid(alpha=0.5)
     ax.set_xlabel("dimension")
