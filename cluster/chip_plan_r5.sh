@@ -43,7 +43,7 @@ kill_wait() {
   P=$(cat "$1" 2>/dev/null) || return 0
   [ -n "$P" ] || return 0
   kill "$P" 2>/dev/null
-  for _ in $(seq 1 10); do
+  for _ in $(seq 1 20); do
     kill -0 "$P" 2>/dev/null || return 0
     sleep 2
   done
