@@ -32,6 +32,7 @@ flags.mark_flags_as_required(["config"])
 
 def main(argv):
     del argv
+    import os
     import signal
     import sys
 
@@ -42,8 +43,23 @@ def main(argv):
     # device RPC blocks (the "startup hang", RESULTS.md round 5).  Raising
     # SystemExit instead unwinds the stack and runs atexit/destructors —
     # including the PJRT client teardown — so the session closes immediately
-    # and the next process starts clean.
+    # and the next process starts clean.  (CPython runs the handler between
+    # bytecodes: delivery is deferred while the main thread sits in a long
+    # native call such as an XLA compile — supervisors allow a grace window
+    # before escalating to SIGKILL.)
     signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
+
+    # Force a jax platform.  On hosts whose sitecustomize imports jax and
+    # registers a remote TPU backend before user code runs, the
+    # JAX_PLATFORMS env var is silently ignored; only a post-import
+    # config.update sticks.  IDDIFF_PLATFORM=cpu gives CPU smoke runs on
+    # such hosts without touching the TPU (and without contending with a
+    # training job that owns the chip).
+    platform = os.environ.get("IDDIFF_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
 
     from iddiff.configs.utils import read_config
     from iddiff import run_lib
