@@ -71,15 +71,22 @@ while true; do
   fi
   SLOW=0
   if [ "$MIN_RATE" != "0" ] && [ "$ALIVE" = "1" ] && [ -f "$METRICS" ]; then
-    RATE=$(tail -2 "$METRICS" | python3 -c '
+    RATE=$(tail -8 "$METRICS" | python3 -c '
 import sys, json, time
 try:
     L = [json.loads(l) for l in sys.stdin if l.strip()]
 except Exception:
     L = []
-if len(L) == 2 and L[1]["time"] > L[0]["time"] and \
-        time.time() - L[1]["time"] < 300:
-    print((L[1]["step"] - L[0]["step"]) / (L[1]["time"] - L[0]["time"]))
+# use the last two entries with DISTINCT steps: epoch ends write an eval
+# line at the same step as the last train line, which would read as
+# rate=0 and (after 3 quiet ticks of eval + spectrum probe + checkpoint
+# save) kill a healthy trainer — observed 2026-08-20 16:54, cost 9k steps
+last = L[-1] if L else None
+prev = next((e for e in reversed(L[:-1])
+             if last and e["step"] != last["step"]), None)
+if last and prev and last["time"] > prev["time"] and \
+        time.time() - last["time"] < 300:
+    print((last["step"] - prev["step"]) / (last["time"] - prev["time"]))
 else:
     print("")' 2>/dev/null)
     if [ -n "${RATE:-}" ] && \
