@@ -24,7 +24,10 @@ def main():
     ap.add_argument("--ckpt", choices=["blobs", "blobs20", "squares"],
                     default="blobs")
     ap.add_argument("--n", type=int, default=16)
-    ap.add_argument("--corrector", default="langevin")
+    # predictor-only is the reference path for these image configs
+    # (gaussian_blobs/10.py:74-75: euler_maruyama + corrector 'none');
+    # langevin at snr=0.15 diverges on the blobs model (RESULTS.md)
+    ap.add_argument("--corrector", default="none")
     ap.add_argument("--snr", type=float, default=0.15)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
